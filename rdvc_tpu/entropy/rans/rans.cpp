@@ -1,0 +1,209 @@
+// Host-side rANS range coder for rdvc_tpu.
+//
+// Fills the role of CompressAI's C++ `compressai.ans` rANS coder that the
+// reference drives through EntropyBottleneck.compress/decompress
+// (/root/reference/codec_processing.py:488,564,589). Fresh implementation of
+// the classic byte-wise rANS construction (Duda 2013; public-domain ryg_rans
+// structure): 32-bit state, byte renormalization, 16-bit quantized CDFs,
+// plus a bypass path for out-of-range symbols via an escape symbol and
+// 4-bit continuation chunks.
+//
+// Exposed as a plain C ABI for ctypes. Symbol convention matches
+// rdvc_tpu.entropy.factorized.CdfTables: for element e with table row c,
+//   v = symbol[e] - offset[c]; max_v = cdf_length[c] - 2;
+//   if 0 <= v < max_v: coded directly; else escape (max_v) + bypass varint.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kProbBits = 16;
+constexpr uint32_t kRansL = 1u << 23;  // lower bound of normalized interval
+constexpr uint32_t kBypassBits = 4;
+constexpr uint32_t kBypassMax = (1u << kBypassBits) - 1;
+
+struct RansEncoder {
+  uint32_t state = kRansL;
+  std::vector<uint8_t> bytes;  // emitted in reverse; reversed at flush
+
+  inline void put(uint32_t start, uint32_t freq) {
+    uint32_t x = state;
+    const uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
+    while (x >= x_max) {
+      bytes.push_back(static_cast<uint8_t>(x & 0xff));
+      x >>= 8;
+    }
+    state = ((x / freq) << kProbBits) + (x % freq) + start;
+  }
+
+  inline void put_bits(uint32_t val, uint32_t nbits) {
+    uint32_t x = state;
+    const uint32_t freq = 1u << (kProbBits - nbits);
+    const uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
+    while (x >= x_max) {
+      bytes.push_back(static_cast<uint8_t>(x & 0xff));
+      x >>= 8;
+    }
+    state = ((x / freq) << kProbBits) + (x % freq) + (val << (kProbBits - nbits));
+  }
+
+  void flush(std::vector<uint8_t>* out) {
+    uint32_t x = state;
+    for (int i = 0; i < 4; ++i) {
+      bytes.push_back(static_cast<uint8_t>(x & 0xff));
+      x >>= 8;
+    }
+    out->assign(bytes.rbegin(), bytes.rend());
+  }
+};
+
+struct RansDecoder {
+  uint32_t state = 0;
+  const uint8_t* ptr = nullptr;
+  const uint8_t* end = nullptr;
+
+  void init(const uint8_t* data, int64_t len) {
+    ptr = data;
+    end = data + len;
+    state = 0;
+    for (int i = 0; i < 4; ++i) {
+      state = (state << 8) | next_byte();
+    }
+  }
+
+  inline uint8_t next_byte() { return ptr < end ? *ptr++ : 0; }
+
+  inline uint32_t peek() const { return state & ((1u << kProbBits) - 1); }
+
+  inline void advance(uint32_t start, uint32_t freq) {
+    uint32_t x = freq * (state >> kProbBits) + peek() - start;
+    while (x < kRansL) {
+      x = (x << 8) | next_byte();
+    }
+    state = x;
+  }
+
+  inline uint32_t get_bits(uint32_t nbits) {
+    const uint32_t val = state >> (kProbBits - nbits) &
+                         ((1u << nbits) - 1);
+    // Equivalent advance for a uniform "symbol" of width 2^(prob-n).
+    const uint32_t freq = 1u << (kProbBits - nbits);
+    const uint32_t start = val << (kProbBits - nbits);
+    advance(start, freq);
+    return val;
+  }
+};
+
+// Decode-order op list; encoding replays it reversed.
+struct Op {
+  uint32_t start;
+  uint32_t freq;
+  bool is_bits;
+  uint32_t val;    // for bits
+  uint32_t nbits;  // for bits
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode n symbols. Returns number of bytes written, or -1 if out_capacity
+// is insufficient (call again with a larger buffer), -2 on bad args.
+// cdfs: row-major (num_tables, cdf_stride) uint32.
+int64_t rdvc_rans_encode(const int32_t* symbols, const int32_t* indexes,
+                         int64_t n, const uint32_t* cdfs, int64_t cdf_stride,
+                         const int32_t* cdf_lengths, const int32_t* offsets,
+                         uint8_t* out, int64_t out_capacity) {
+  std::vector<Op> ops;
+  ops.reserve(static_cast<size_t>(n) + 16);
+  for (int64_t e = 0; e < n; ++e) {
+    const int32_t c = indexes[e];
+    const uint32_t* cdf = cdfs + c * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[c];
+    const int32_t max_v = cdf_len - 2;
+    if (max_v < 1) return -2;
+    int64_t v = static_cast<int64_t>(symbols[e]) - offsets[c];
+    uint32_t raw = 0;
+    bool overflow = false;
+    if (v < 0) {
+      raw = static_cast<uint32_t>(-2 * v - 1);
+      overflow = true;
+    } else if (v >= max_v) {
+      raw = static_cast<uint32_t>(2 * (v - max_v));
+      overflow = true;
+    }
+    const uint32_t s = overflow ? static_cast<uint32_t>(max_v)
+                                : static_cast<uint32_t>(v);
+    ops.push_back({cdf[s], cdf[s + 1] - cdf[s], false, 0, 0});
+    if (overflow) {
+      // little-endian 3-bit chunks with a continuation bit.
+      uint32_t r = raw;
+      do {
+        const uint32_t chunk = r & 0x7;
+        r >>= 3;
+        const uint32_t more = r != 0 ? 0x8u : 0u;
+        ops.push_back({0, 0, true, chunk | more, kBypassBits});
+      } while (r != 0);
+    }
+  }
+
+  RansEncoder enc;
+  for (auto it = ops.rbegin(); it != ops.rend(); ++it) {
+    if (it->is_bits) {
+      enc.put_bits(it->val, it->nbits);
+    } else {
+      enc.put(it->start, it->freq);
+    }
+  }
+  std::vector<uint8_t> result;
+  enc.flush(&result);
+  if (static_cast<int64_t>(result.size()) > out_capacity) return -1;
+  std::memcpy(out, result.data(), result.size());
+  return static_cast<int64_t>(result.size());
+}
+
+// Decode n symbols from `data`. Returns 0 on success.
+int64_t rdvc_rans_decode(const uint8_t* data, int64_t data_len,
+                         const int32_t* indexes, int64_t n,
+                         const uint32_t* cdfs, int64_t cdf_stride,
+                         const int32_t* cdf_lengths, const int32_t* offsets,
+                         int32_t* out_symbols) {
+  RansDecoder dec;
+  dec.init(data, data_len);
+  for (int64_t e = 0; e < n; ++e) {
+    const int32_t c = indexes[e];
+    const uint32_t* cdf = cdfs + c * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[c];
+    const int32_t max_v = cdf_len - 2;
+    if (max_v < 1) return -2;
+    const uint32_t cum = dec.peek();
+    // CDF rows are short (tens of entries): linear scan is branch-predictable
+    // and beats binary search at these sizes.
+    int32_t s = 0;
+    while (s + 1 < cdf_len - 1 && cdf[s + 1] <= cum) ++s;
+    dec.advance(cdf[s], cdf[s + 1] - cdf[s]);
+    int64_t v = s;
+    if (s == max_v) {
+      uint32_t raw = 0;
+      uint32_t shift = 0;
+      while (true) {
+        const uint32_t chunk = dec.get_bits(kBypassBits);
+        raw |= (chunk & 0x7) << shift;
+        shift += 3;
+        if ((chunk & 0x8) == 0) break;
+        if (shift > 62) return -3;
+      }
+      if (raw & 1) {
+        v = -static_cast<int64_t>((raw + 1) / 2);
+      } else {
+        v = static_cast<int64_t>(max_v) + raw / 2;
+      }
+    }
+    out_symbols[e] = static_cast<int32_t>(v + offsets[c]);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,220 @@
+"""VideoCodec: the P-frame codec model (motion AE + MCN + residual AE).
+
+Behavioral spec from the reference's two VideoCodec variants — training
+(/root/reference/new_train.py:229-296) and inference
+(/root/reference/codec_processing.py:411-619) — defined ONCE here (the
+reference copy-pastes the model 4x; see SURVEY.md §1).
+
+All tensors are NHWC float32 at the API boundary; internals run bf16 on the
+MXU. The training `__call__` is phase-aware (1: warp with GT flow, no MCN;
+2/3: warp with reconstructed flow + MCN). The inference path is split into
+pure jittable pieces (analysis/synthesis/reconstruct) so that the
+encode/decode pipelines can jit them once and drive the host-side rANS coder
+around them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rdvc_tpu.config import ModelConfig
+from rdvc_tpu.entropy.factorized import FactorizedEntropyBottleneck
+from rdvc_tpu.models.mcn import MotionCompensationNetwork
+from rdvc_tpu.models.transforms import AnalysisTransform, SynthesisTransform
+from rdvc_tpu.ops.resize import resize_bilinear, resize_flow
+from rdvc_tpu.ops.warp import bilinear_warp
+
+
+class VideoCodec(nn.Module):
+    cfg: ModelConfig = ModelConfig()
+
+    def setup(self):
+        c = self.cfg
+        # Motion path: flow (2ch) latents; base channels are halved for the
+        # motion AE (reference codec_processing.py:429-440).
+        self.motion_encoder = AnalysisTransform(
+            latent_channels=c.motion_latent_channels,
+            base_channels=c.encoder_base_channels // 2,
+            num_downsample_layers=c.encoder_downsample_layers,
+            num_res_blocks=c.encoder_res_blocks,
+            norm=c.norm,
+            act=c.activation,
+        )
+        self.motion_entropy_bottleneck = FactorizedEntropyBottleneck(
+            c.motion_latent_channels
+        )
+        self.motion_decoder = SynthesisTransform(
+            output_channels=2,
+            base_channels=c.encoder_base_channels // 2,
+            num_upsample_layers=c.decoder_upsample_layers,
+            num_res_blocks=c.decoder_res_blocks,
+            final_activation=None,
+            norm=c.norm,
+            act=c.activation,
+        )
+        # Residual path: image-like (3ch).
+        self.residual_encoder = AnalysisTransform(
+            latent_channels=c.residual_latent_channels,
+            base_channels=c.encoder_base_channels,
+            num_downsample_layers=c.encoder_downsample_layers,
+            num_res_blocks=c.encoder_res_blocks,
+            norm=c.norm,
+            act=c.activation,
+        )
+        self.residual_entropy_bottleneck = FactorizedEntropyBottleneck(
+            c.residual_latent_channels
+        )
+        self.residual_decoder = SynthesisTransform(
+            output_channels=3,
+            base_channels=c.encoder_base_channels,
+            num_upsample_layers=c.decoder_upsample_layers,
+            num_res_blocks=c.decoder_res_blocks,
+            final_activation=None,
+            norm=c.norm,
+            act=c.activation,
+        )
+        self.motion_compensation_net = MotionCompensationNetwork(
+            base_channels=c.mcn_base_channels,
+            num_res_blocks=c.mcn_res_blocks,
+            norm=c.norm,
+            act=c.activation,
+        )
+
+    # ------------------------------------------------------------------
+    # Training forward (reference new_train.py:249-296)
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        frame1: jax.Array,
+        frame2: jax.Array,
+        flow_input: jax.Array,
+        current_phase: int = 2,
+        *,
+        train: bool = False,
+    ) -> Dict[str, jax.Array]:
+        motion_latents = self.motion_encoder(flow_input, train=train)
+        q_motion, motion_lik = self.motion_entropy_bottleneck(
+            motion_latents, train=train
+        )
+        rate_motion = -jnp.log2(motion_lik)
+        flow_reconstructed = self.motion_decoder(q_motion, train=train)
+
+        if current_phase == 1:
+            warped = bilinear_warp(frame1, flow_input)
+            predictor = warped
+            residual_computed = frame2 - warped
+        else:
+            warped = bilinear_warp(frame1, flow_reconstructed)
+            predictor = self.motion_compensation_net(
+                warped, flow_reconstructed, frame1, train=train
+            )
+            residual_computed = frame2 - predictor
+
+        residual_latents = self.residual_encoder(residual_computed, train=train)
+        q_residual, residual_lik = self.residual_entropy_bottleneck(
+            residual_latents, train=train
+        )
+        rate_residual = -jnp.log2(residual_lik)
+        residual_reconstructed = self.residual_decoder(q_residual, train=train)
+
+        recon = jnp.clip(predictor + residual_reconstructed, 0.0, 1.0)
+
+        return {
+            "flow_reconstructed": flow_reconstructed,
+            "residual_reconstructed": residual_reconstructed,
+            "rate_motion": rate_motion,
+            "rate_residual": rate_residual,
+            "flow_input": flow_input,
+            "residual_computed": residual_computed,
+            "motion_latents": motion_latents,
+            "residual_latents": residual_latents,
+            "frame2_motion_compensated": predictor,
+            "frame2_reconstructed_final": recon,
+        }
+
+    def aux_loss(self) -> jax.Array:
+        return (
+            self.motion_entropy_bottleneck.aux_loss()
+            + self.residual_entropy_bottleneck.aux_loss()
+        )
+
+    # ------------------------------------------------------------------
+    # Inference pieces (jitted by the pipelines; rANS runs on host between
+    # analysis and synthesis — reference compress_simplified /
+    # decompress_frame_simplified, codec_processing.py:509-619)
+    # ------------------------------------------------------------------
+    def analyze_motion(self, flow: jax.Array) -> jax.Array:
+        """Flow at compression resolution -> motion latents (float32)."""
+        return self.motion_encoder(flow, train=False)
+
+    def analyze_residual(self, residual: jax.Array) -> jax.Array:
+        return self.residual_encoder(residual, train=False)
+
+    def quantize_motion(self, latents: jax.Array) -> jax.Array:
+        """Round-to-median quantization (what the rANS round-trip produces);
+        lets the encoder pipeline reconstruct without re-running the coder."""
+        q, _ = self.motion_entropy_bottleneck(latents, train=False)
+        return q
+
+    def quantize_residual(self, latents: jax.Array) -> jax.Array:
+        q, _ = self.residual_entropy_bottleneck(latents, train=False)
+        return q
+
+    def synthesize_flow(self, q_motion: jax.Array) -> jax.Array:
+        return self.motion_decoder(q_motion, train=False)
+
+    def synthesize_residual(self, q_residual: jax.Array) -> jax.Array:
+        return self.residual_decoder(q_residual, train=False)
+
+    def reconstruct_p_frame(
+        self,
+        previous_frame: jax.Array,  # (1, H, W, 3) original resolution
+        q_motion: jax.Array,        # (1, h_m, w_m, C_m) quantized latents
+        q_residual: jax.Array,      # (1, h_r, w_r, C_r) quantized latents
+        target_hw: Tuple[int, int],
+    ) -> Dict[str, jax.Array]:
+        """Shared decode path: latents + previous reconstruction -> frame.
+
+        Mirrors decompress_frame_simplified
+        (codec_processing.py:538-619): decode flow at compression
+        resolution, upsample with value rescaling, warp, MCN, decode
+        residual, bilinear-upsample, add, clamp.
+        """
+        H, W = int(target_hw[0]), int(target_hw[1])
+        flow_low = self.motion_decoder(q_motion, train=False)
+        flow_up = resize_flow(flow_low, (H, W))
+        warped = bilinear_warp(previous_frame, flow_up)
+        mc = self.motion_compensation_net(warped, flow_up, previous_frame, train=False)
+        res_low = self.residual_decoder(q_residual, train=False)
+        res_up = resize_bilinear(res_low, (H, W))
+        recon = jnp.clip(mc + res_up, 0.0, 1.0)
+        return {
+            "reconstructed": recon,
+            "flow": flow_up,
+            "warped": warped,
+            "motion_compensated": mc,
+            "residual": res_up,
+        }
+
+
+def create_codec(cfg: Optional[ModelConfig] = None) -> VideoCodec:
+    return VideoCodec(cfg=cfg or ModelConfig())
+
+
+def init_codec_variables(
+    model: VideoCodec, rng: jax.Array, spatial: Tuple[int, int] = (64, 64)
+) -> dict:
+    """Initialize parameters + batch stats with tiny dummy inputs."""
+    H, W = spatial
+    f1 = jnp.zeros((1, H, W, 3), jnp.float32)
+    f2 = jnp.zeros((1, H, W, 3), jnp.float32)
+    flow = jnp.zeros((1, H, W, 2), jnp.float32)
+    params_rng, noise_rng = jax.random.split(rng)
+    return model.init(
+        {"params": params_rng, "noise": noise_rng},
+        f1, f2, flow, 2, train=True,
+    )
