@@ -1,0 +1,102 @@
+"""CLI, surface-compatible with the reference codec_processing.py
+(/root/reference/codec_processing.py:1985-2038): --mode encode|decode,
+--gpu (device id; -1 = CPU), --raft_backend, --temporal_filter_alpha, plus
+optional overrides for paths and common knobs.
+
+Usage:
+    python -m rdvc_tpu.cli --mode encode --input input.yuv --output out.rdvc
+    python -m rdvc_tpu.cli --mode decode --input out.rdvc --output recon.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+from rdvc_tpu.config import CodecConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="rdvc_tpu video codec")
+    p.add_argument("--mode", choices=["encode", "decode"], required=True)
+    p.add_argument("--gpu", type=int, default=None,
+                   help="device id; -1 forces CPU (reference parity flag)")
+    p.add_argument("--raft_backend", type=str, default=None,
+                   choices=["auto", "raft", "jax", "farneback", "zero"])
+    p.add_argument("--temporal_filter_alpha", type=float, default=None)
+    p.add_argument("--input", type=str, default=None)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--iframe_interval", type=int, default=None)
+    p.add_argument("--iframe_jpeg_quality", type=int, default=None)
+    p.add_argument("--flow_compress_height", type=int, default=None)
+    p.add_argument("--residual_compress_height", type=int, default=None)
+    p.add_argument("--yuv_width", type=int, default=None)
+    p.add_argument("--yuv_height", type=int, default=None)
+    p.add_argument("--yuv_fps", type=float, default=None)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--low_motion_replacement_threshold", type=float, default=None)
+    p.add_argument("--json", action="store_true", help="print summary as JSON")
+    return p
+
+
+def config_from_args(args) -> CodecConfig:
+    config = CodecConfig()
+    config.update_from_args(args)
+    if args.checkpoint:
+        config.codec_checkpoint_path = args.checkpoint
+    if args.mode == "encode":
+        if args.input:
+            config.input_file_path = args.input
+        if args.output:
+            config.output_rdvc_file = args.output
+    else:
+        if args.input:
+            config.input_rdvc_file = args.input
+        if args.output:
+            config.output_video_path_decode = args.output
+    for name in (
+        "iframe_interval",
+        "iframe_jpeg_quality",
+        "flow_compress_height",
+        "residual_compress_height",
+        "low_motion_replacement_threshold",
+    ):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(config, name, v)
+    if args.yuv_width is not None:
+        config.input_yuv_width = args.yuv_width
+    if args.yuv_height is not None:
+        config.input_yuv_height = args.yuv_height
+    if args.yuv_fps is not None:
+        config.input_yuv_fps = args.yuv_fps
+    return config
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+    if args.mode == "encode":
+        from rdvc_tpu.pipeline.encode import encode_video
+
+        summary = encode_video(config, max_frames=args.max_frames)
+        summary = {k: v for k, v in summary.items() if k != "metadata"}
+    else:
+        from rdvc_tpu.pipeline.decode import decode_video
+
+        summary = decode_video(config)
+        summary = {"frames": summary["frames"], "timings": summary["timings"]}
+    if args.json:
+        print(json.dumps(summary, default=str))
+    else:
+        for k, v in summary.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,13 +21,30 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
-def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+def _interp_matrix(n_in: int, n_out: int, antialias: bool = False) -> np.ndarray:
     """(n_out, n_in) bilinear interpolation weights, half-pixel centers
-    (align_corners=False), edges clamped."""
+    (align_corners=False), edges clamped.
+
+    With antialias=True and n_out < n_in, the triangle filter support is
+    widened by the scale factor (torchvision TF.resize(antialias=True)
+    semantics, used by the reference's residual downscale,
+    codec_processing.py:1463-1469)."""
     if n_in == n_out:
         return np.eye(n_out, dtype=np.float32)
     scale = n_in / n_out
     src = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    if antialias and scale > 1.0:
+        support = scale  # triangle filter stretched by the downscale factor
+        lo = np.ceil(src - support).astype(np.int64)
+        hi = np.floor(src + support).astype(np.int64)
+        mat = np.zeros((n_out, n_in), dtype=np.float64)
+        for i in range(n_out):
+            j = np.arange(lo[i], hi[i] + 1)
+            w = np.maximum(0.0, 1.0 - np.abs(j - src[i]) / support)
+            jc = np.clip(j, 0, n_in - 1)
+            np.add.at(mat[i], jc, w)
+        mat /= mat.sum(axis=1, keepdims=True)
+        return mat.astype(np.float32)
     src = np.clip(src, 0.0, n_in - 1)
     lo = np.floor(src).astype(np.int64)
     hi = np.minimum(lo + 1, n_in - 1)
@@ -39,7 +56,9 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return mat
 
 
-def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+def resize_bilinear(
+    x: jax.Array, out_hw: Tuple[int, int], antialias: bool = False
+) -> jax.Array:
     """Bilinear-resize (B, H, W, C) -> (B, H_out, W_out, C)."""
     B, H, W, C = x.shape
     H_out, W_out = int(out_hw[0]), int(out_hw[1])
@@ -47,8 +66,8 @@ def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
         return x
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    wh = jnp.asarray(_interp_matrix(H, H_out))
-    ww = jnp.asarray(_interp_matrix(W, W_out))
+    wh = jnp.asarray(_interp_matrix(H, H_out, antialias))
+    ww = jnp.asarray(_interp_matrix(W, W_out, antialias))
     hp = jax.lax.Precision.HIGHEST
     y = jnp.einsum("oh,bhwc->bowc", wh, xf, precision=hp)
     y = jnp.einsum("pw,bhwc->bhpc", ww, y, precision=hp)

@@ -1,0 +1,155 @@
+"""End-to-end encode -> .rdvc -> decode round trip (the test_2frames /
+test_uvg equivalent, SURVEY.md §4 seams a, c, g).
+
+Uses a random-init codec + the Farneback/zero flow backends so no trained
+weights are needed; correctness here means pipeline integrity (container
+round-trip, latent bit-exactness through rANS, encoder/decoder state
+discipline, determinism), not RD quality.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rdvc_tpu.config import CodecConfig, ModelConfig
+from rdvc_tpu.io.yuv import write_yuv420p_frames
+from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+from rdvc_tpu.pipeline.decode import decode_video
+from rdvc_tpu.pipeline.encode import encode_video, compression_resolution
+
+
+def _make_video(tmp_path, n=6, h=64, w=96):
+    """Moving smooth-gradient synthetic video (JPEG/YUV-friendly)."""
+    ys, xs = np.mgrid[0 : h * 2, 0 : w * 2].astype(np.float64)
+    base = np.stack(
+        [
+            127 + 100 * np.sin(xs / 17.0) * np.cos(ys / 23.0),
+            127 + 100 * np.cos(xs / 29.0 + ys / 13.0),
+            127 + 100 * np.sin((xs + ys) / 19.0),
+        ],
+        axis=-1,
+    )
+    frames = []
+    for t in range(n):
+        crop = base[t * 2 : t * 2 + h, t * 3 : t * 3 + w]
+        frames.append(np.ascontiguousarray(np.clip(crop, 0, 255).astype(np.uint8)))
+    path = str(tmp_path / "in.yuv")
+    write_yuv420p_frames(path, frames)
+    return path, frames
+
+
+def _small_config(tmp_path, in_path, h=64, w=96):
+    c = CodecConfig()
+    c.input_file_path = in_path
+    c.output_rdvc_file = str(tmp_path / "out.rdvc")
+    c.input_rdvc_file = c.output_rdvc_file
+    c.output_video_path_decode = str(tmp_path / "recon.yuv")
+    c.input_yuv_width = w
+    c.input_yuv_height = h
+    c.input_yuv_fps = 30.0
+    c.iframe_interval = 4
+    c.flow_compress_height = h
+    c.residual_compress_height = h
+    c.raft_backend = "zero"
+    c.raft_resize_height = 32
+    c.raft_resize_width = 48
+    c.codec_checkpoint_path = str(tmp_path / "nonexistent")
+    return c
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    return CodecRuntime(model_cfg=ModelConfig(), seed=0)
+
+
+def test_compression_resolution():
+    # 1080p 16:9 stays 1080x1920; odd targets get even-rounded
+    assert compression_resolution(1080, 1920, 1080) == (1080, 1920)
+    assert compression_resolution(135, 1920, 1080) == (136, 240)
+
+
+def test_encode_decode_roundtrip(tmp_path, runtime):
+    in_path, frames = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    enc = encode_video(config, runtime=runtime)
+    assert enc["frames"] == 6
+    assert os.path.getsize(config.output_rdvc_file) > 0
+    assert enc["metadata"]["total_frames_processed"] == 6
+
+    dec = decode_video(config, runtime=runtime, collect_frames=True)
+    assert dec["frames"] == 6
+    out_frames = dec["decoded_frames"]
+    assert all(f.shape == (64, 96, 3) for f in out_frames)
+
+    # I-frames (0, 4) are JPEG q70 of the source: close to the original.
+    for i in (0, 4):
+        err = np.mean(
+            np.abs(out_frames[i].astype(int) - frames[i].astype(int))
+        )
+        assert err < 15, f"I-frame {i} err {err}"
+
+
+def test_decode_deterministic(tmp_path, runtime):
+    in_path, _ = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    encode_video(config, runtime=runtime)
+    d1 = decode_video(config, runtime=runtime, collect_frames=True)
+    d2 = decode_video(config, runtime=runtime, collect_frames=True)
+    for a, b in zip(d1["decoded_frames"], d2["decoded_frames"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_latents_bitexact_through_rans(tmp_path, runtime):
+    """The decoder's dequantized latents must exactly equal what the encoder
+    would get by quantizing its own latents (bitstream transparency)."""
+    rng = np.random.RandomState(5)
+    lat = (rng.randn(1, 8, 12, 128) * 2).astype(np.float32)
+    bs, shape = runtime.compress_motion(jnp.asarray(lat))
+    back = runtime.decompress_motion(bs, shape)
+    expected = runtime.quantized_latents(lat, "motion")
+    np.testing.assert_array_equal(back, expected)
+
+
+def test_encode_with_farneback(tmp_path, runtime):
+    pytest.importorskip("cv2")
+    in_path, _ = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    config.raft_backend = "farneback"
+    enc = encode_video(config, runtime=runtime)
+    assert enc["frames"] == 6
+    dec = decode_video(config, runtime=runtime)
+    assert dec["frames"] == 6
+
+
+def test_cli_encode_decode(tmp_path, runtime, monkeypatch):
+    """CLI surface parity: --mode encode|decode."""
+    from rdvc_tpu import cli
+
+    in_path, _ = _make_video(tmp_path)
+    rdvc = str(tmp_path / "cli.rdvc")
+    recon = str(tmp_path / "cli_recon.yuv")
+    # Patch runtime construction to reuse the module fixture (avoids re-init)
+    monkeypatch.setattr(
+        "rdvc_tpu.pipeline.codec_runtime.CodecRuntime",
+        lambda *a, **k: runtime,
+    )
+    rc = cli.main(
+        [
+            "--mode", "encode", "--input", in_path, "--output", rdvc,
+            "--yuv_width", "96", "--yuv_height", "64",
+            "--raft_backend", "zero", "--iframe_interval", "4",
+            "--flow_compress_height", "64",
+            "--residual_compress_height", "64",
+            "--checkpoint", str(tmp_path / "none"),
+        ]
+    )
+    assert rc == 0 and os.path.exists(rdvc)
+    rc = cli.main(
+        [
+            "--mode", "decode", "--input", rdvc, "--output", recon,
+            "--checkpoint", str(tmp_path / "none"),
+        ]
+    )
+    assert rc == 0
