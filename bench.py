@@ -1,0 +1,108 @@
+"""Benchmark: 1080p UVG-style encode+decode throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline (BASELINE.md): reference encodes at 1.10 s/frame and decodes at
+1.42 s/frame on an RTX 3050 Ti => 1/(1.10+1.42) = 0.397 fps combined
+encode+decode per frame. vs_baseline is ours / 0.397.
+
+Method: synthetic 1080p video, real model compute (JAX RAFT at 368x640 with
+12 iterations + full codec transforms at 1080p + host rANS + container IO),
+iframe_interval 32 (the jockey.txt long-run setting). Warmup pass first so
+steady-state throughput is measured, not XLA compile.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+BASELINE_COMBINED_FPS = 1.0 / (1.10 + 1.42)
+
+
+def synth_frames(n, h, w, seed=0):
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = []
+    for t in range(n):
+        img = np.stack(
+            [
+                127 + 100 * np.sin(xs / 37.0 + t * 0.3) * np.cos(ys / 53.0),
+                127 + 100 * np.cos(xs / 61.0 + ys / 29.0 - t * 0.2),
+                127 + 100 * np.sin((xs + ys) / 47.0 + t * 0.1),
+            ],
+            axis=-1,
+        )
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+    return frames
+
+
+def main():
+    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    h, w = 1080, 1920
+
+    from rdvc_tpu.config import CodecConfig
+    from rdvc_tpu.io.yuv import write_yuv420p_frames
+    from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+    from rdvc_tpu.pipeline.decode import decode_video
+    from rdvc_tpu.pipeline.encode import encode_video
+
+    with tempfile.TemporaryDirectory() as td:
+        yuv = os.path.join(td, "in.yuv")
+        write_yuv420p_frames(yuv, synth_frames(n_frames, h, w))
+
+        config = CodecConfig()
+        config.input_file_path = yuv
+        config.output_rdvc_file = os.path.join(td, "out.rdvc")
+        config.input_rdvc_file = config.output_rdvc_file
+        config.output_video_path_decode = os.path.join(td, "recon.yuv")
+        config.input_yuv_width = w
+        config.input_yuv_height = h
+        config.iframe_interval = 32
+        config.flow_compress_height = 1080
+        config.residual_compress_height = 1080
+        config.raft_backend = "raft"
+        config.codec_checkpoint_path = os.path.join(td, "none")
+
+        runtime = CodecRuntime(model_cfg=config.model_config())
+
+        # Warmup: compile all shapes with a 3-frame run.
+        warm = CodecConfig(**{**config.__dict__})
+        warm.output_rdvc_file = os.path.join(td, "warm.rdvc")
+        warm.input_rdvc_file = warm.output_rdvc_file
+        warm.output_video_path_decode = os.path.join(td, "warm.yuv")
+        encode_video(warm, runtime=runtime, max_frames=3)
+        decode_video(warm, runtime=runtime)
+
+        t0 = time.perf_counter()
+        enc = encode_video(config, runtime=runtime, max_frames=n_frames)
+        t1 = time.perf_counter()
+        dec = decode_video(config, runtime=runtime)
+        t2 = time.perf_counter()
+
+    assert enc["frames"] == n_frames and dec["frames"] == n_frames
+    combined_fps = n_frames / (t2 - t0)
+    result = {
+        "metric": "uvg1080p_encode_decode_fps_per_chip",
+        "value": round(combined_fps, 4),
+        "unit": "fps",
+        "vs_baseline": round(combined_fps / BASELINE_COMBINED_FPS, 3),
+        "detail": {
+            "encode_fps": round(n_frames / (t1 - t0), 4),
+            "decode_fps": round(n_frames / (t2 - t1), 4),
+            "frames": n_frames,
+            "bpp": round(
+                enc["file_bytes"] * 8 / (n_frames * h * w), 4
+            ),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Training data pipeline: Vimeo-90k-style frame pairs + `.flo` GT flow.
+
+Spec: the reference dataset (/root/reference/new_train.py:452-557):
+rglob im*.png under frame_base_dir, group by directory, sort numerically,
+pair consecutive frames (n, n+1), require a matching `.flo` at the mirrored
+path under flow_base_dir; __getitem__ returns (frame1, frame2, flow) with the
+flow resized (and displacement-rescaled) to the frame size. The `.flo`
+reader implements the Middlebury format (magic 202021.25) with NaN/Inf
+rejection (new_train.py:452-469).
+
+The loader here is a simple epoch-shuffled numpy batcher (no torch
+DataLoader); batches are NHWC float32, ready to be sharded over the data
+mesh axis.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+_FLO_MAGIC = 202021.25
+
+
+def read_flo(path: str) -> np.ndarray:
+    """Middlebury .flo -> (H, W, 2) float32; raises on bad magic/NaN/Inf."""
+    with open(path, "rb") as f:
+        magic = struct.unpack("<f", f.read(4))[0]
+        if abs(magic - _FLO_MAGIC) > 1e-3:
+            raise ValueError(f"bad .flo magic {magic} in {path}")
+        w = struct.unpack("<i", f.read(4))[0]
+        h = struct.unpack("<i", f.read(4))[0]
+        data = np.frombuffer(f.read(h * w * 2 * 4), np.float32)
+    if data.size != h * w * 2:
+        raise ValueError(f"truncated .flo: {path}")
+    flow = data.reshape(h, w, 2).copy()
+    if not np.all(np.isfinite(flow)):
+        raise ValueError(f"NaN/Inf in flow: {path}")
+    return flow
+
+
+def write_flo(path: str, flow: np.ndarray) -> None:
+    h, w = flow.shape[:2]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<f", _FLO_MAGIC))
+        f.write(struct.pack("<i", w))
+        f.write(struct.pack("<i", h))
+        f.write(np.ascontiguousarray(flow, np.float32).tobytes())
+
+
+def _numeric_key(name: str):
+    m = re.findall(r"\d+", name)
+    return (int(m[-1]) if m else 0, name)
+
+
+def _resize_flow_np(flow: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize + displacement rescale (host-side numpy variant of
+    ops.resize.resize_flow; reference dataset does the same,
+    new_train.py:541-548)."""
+    h, w = flow.shape[:2]
+    th, tw = target_hw
+    if (h, w) == (th, tw):
+        return flow
+    from rdvc_tpu.ops.resize import _interp_matrix
+
+    wh = _interp_matrix(h, th)
+    ww = _interp_matrix(w, tw)
+    out = np.einsum("oh,hwc->owc", wh, flow.astype(np.float32))
+    out = np.einsum("pw,hwc->hpc", ww, out)
+    out[..., 0] *= tw / w
+    out[..., 1] *= th / h
+    return out
+
+
+class VimeoFlowPairDataset:
+    """Consecutive-frame pairs with ground-truth flow."""
+
+    def __init__(
+        self,
+        frame_base_dir: str,
+        flow_base_dir: str,
+        crop_size: Optional[Tuple[int, int]] = None,
+    ):
+        self.frame_base = Path(frame_base_dir)
+        self.flow_base = Path(flow_base_dir)
+        self.crop_size = crop_size
+        self.pairs: List[Tuple[str, str, str]] = []
+        by_dir = {}
+        for p in sorted(self.frame_base.rglob("im*.png")):
+            by_dir.setdefault(p.parent, []).append(p)
+        for d, files in sorted(by_dir.items()):
+            files.sort(key=lambda p: _numeric_key(p.stem))
+            rel = d.relative_to(self.frame_base)
+            for a, b in zip(files, files[1:]):
+                flo = self.flow_base / rel / (a.stem + ".flo")
+                if flo.exists():
+                    self.pairs.append((str(a), str(b), str(flo)))
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, i: int):
+        f1p, f2p, flop = self.pairs[i]
+        f1 = np.asarray(Image.open(f1p).convert("RGB"), np.float32) / 255.0
+        f2 = np.asarray(Image.open(f2p).convert("RGB"), np.float32) / 255.0
+        flow = read_flo(flop)
+        if flow.shape[:2] != f1.shape[:2]:
+            flow = _resize_flow_np(flow, f1.shape[:2])
+        if self.crop_size is not None:
+            ch, cw = self.crop_size
+            h, w = f1.shape[:2]
+            if h >= ch and w >= cw:
+                y = (h - ch) // 2
+                x = (w - cw) // 2
+                f1 = f1[y : y + ch, x : x + cw]
+                f2 = f2[y : y + ch, x : x + cw]
+                flow = flow[y : y + ch, x : x + cw]
+        return f1, f2, flow
+
+
+class SyntheticFlowPairDataset:
+    """Procedural dataset for smoke tests / no-data environments: random
+    smooth images warped by random smooth flows (the flow is exact GT)."""
+
+    def __init__(self, size: int = 64, length: int = 64, seed: int = 0):
+        self.size = size
+        self.length = length
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, i: int):
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        s = self.size
+        # smooth image: low-freq random fourier mixture
+        f1 = np.zeros((s, s, 3), np.float32)
+        ys, xs = np.mgrid[0:s, 0:s].astype(np.float32)
+        for _ in range(6):
+            fx, fy = rng.rand(2) * 0.2
+            ph = rng.rand() * 6.28
+            amp = rng.rand(3) * 0.3
+            f1 += amp[None, None] * np.sin(
+                xs[..., None] * fx + ys[..., None] * fy + ph
+            )
+        f1 = (f1 - f1.min()) / max(np.ptp(f1), 1e-6)
+        # smooth flow
+        flow = np.zeros((s, s, 2), np.float32)
+        for _ in range(3):
+            fx, fy = rng.rand(2) * 0.1
+            ph = rng.rand() * 6.28
+            amp = rng.randn(2) * 2.0
+            flow += amp[None, None] * np.sin(
+                xs[..., None] * fx + ys[..., None] * fy + ph
+            )
+        # frame2 = backward-warp consistency: f1 warped by flow gives f2 at
+        # pixels where f2(x) = f1(x + flow(x))
+        xq = np.clip(xs + flow[..., 0], 0, s - 1)
+        yq = np.clip(ys + flow[..., 1], 0, s - 1)
+        x0 = np.floor(xq).astype(int)
+        y0 = np.floor(yq).astype(int)
+        x1 = np.minimum(x0 + 1, s - 1)
+        y1 = np.minimum(y0 + 1, s - 1)
+        wx = (xq - x0)[..., None]
+        wy = (yq - y0)[..., None]
+        f2 = (
+            f1[y0, x0] * (1 - wx) * (1 - wy)
+            + f1[y0, x1] * wx * (1 - wy)
+            + f1[y1, x0] * (1 - wx) * wy
+            + f1[y1, x1] * wx * wy
+        ).astype(np.float32)
+        return f1, f2, flow
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Epoch iterator yielding stacked (f1, f2, flow) NHWC batches."""
+    idx = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    n = len(idx)
+    stop = n - (n % batch_size) if drop_last else n
+    for start in range(0, stop, batch_size):
+        items = [dataset[int(i)] for i in idx[start : start + batch_size]]
+        f1 = np.stack([a for a, _, _ in items])
+        f2 = np.stack([b for _, b, _ in items])
+        fl = np.stack([c for _, _, c in items])
+        yield f1, f2, fl

@@ -1,13 +1,12 @@
 import os
 import sys
 
-# Force CPU with a virtual 8-device mesh for multi-chip tests; must be set
-# before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Force CPU with 8 virtual devices for multi-chip sharding tests. The axon
+# TPU plugin ignores the JAX_PLATFORMS env var in this image, so the config
+# API must be used (before any jax computation).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,149 @@
+"""RAFT tests: correlation math, lookup, upsampling, end-to-end flow sanity.
+
+Spec: RAFT paper (PAPERS.md) + the reference's invocation contract
+(codec_processing.py:1436-1444).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rdvc_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+from rdvc_tpu.models.raft.update import convex_upsample
+from rdvc_tpu.models.raft import RAFT
+
+
+def test_corr_volume_matches_manual():
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 4, 6, 16
+    f1 = rng.randn(B, H, W, C).astype(np.float32)
+    f2 = rng.randn(B, H, W, C).astype(np.float32)
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2)
+    corr = np.asarray(pyr[0]).reshape(B, H * W, H, W)
+    manual = np.einsum(
+        "bnc,bmc->bnm",
+        f1.reshape(B, H * W, C),
+        f2.reshape(B, H * W, C),
+    ) / np.sqrt(C)
+    np.testing.assert_allclose(
+        corr.reshape(B, H * W, H * W), manual, rtol=2e-4, atol=2e-4
+    )
+    # level 1 is 2x average pooled over the second frame dims
+    assert pyr[1].shape == (B * H * W, H // 2, W // 2, 1)
+
+
+def test_corr_lookup_center_tap():
+    """At integer coords with zero flow, the center of the 81-point window
+    must equal the self-correlation entry."""
+    rng = np.random.RandomState(1)
+    B, H, W, C = 1, 8, 8, 8
+    f1 = rng.randn(B, H, W, C).astype(np.float32)
+    f2 = rng.randn(B, H, W, C).astype(np.float32)
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    coords = jnp.stack([xs, ys], -1)
+    out = np.asarray(corr_lookup(pyr, coords, radius=4))  # (B,H,W,81)
+    center = out[..., 40]  # (2*4+1)^2 grid, center index 40
+    manual = np.einsum("bhwc,bhwc->bhw", f1, f2) / np.sqrt(C)
+    # lookup at own coords samples corr[i, i]
+    vol = np.asarray(pyr[0]).reshape(B, H, W, H, W)
+    diag = np.zeros((B, H, W), np.float32)
+    for y in range(H):
+        for x in range(W):
+            diag[:, y, x] = vol[:, y, x, y, x]
+    np.testing.assert_allclose(center, diag, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(diag, manual, rtol=2e-4, atol=2e-4)
+
+
+def test_corr_lookup_out_of_bounds_zero():
+    B, H, W, C = 1, 4, 4, 4
+    f = jnp.ones((B, H, W, C), jnp.float32)
+    pyr = build_corr_pyramid(f, f, num_levels=1)
+    coords = jnp.full((B, H, W, 2), -100.0)  # far outside
+    out = np.asarray(corr_lookup(pyr, coords, radius=1))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_convex_upsample_uniform_mask_constant_flow():
+    """With any mask, upsampling a constant flow gives the constant * 8."""
+    B, H, W = 1, 3, 4
+    flow = jnp.ones((B, H, W, 2)) * 2.0
+    rng = np.random.RandomState(2)
+    mask = jnp.asarray(rng.randn(B, H, W, 8 * 8 * 9).astype(np.float32))
+    up = np.asarray(convex_upsample(flow, mask))
+    assert up.shape == (1, 24, 32, 2)
+    # Interior pixels: all 9 neighbors equal => convex combo is exact.
+    np.testing.assert_allclose(up[:, 8:-8, 8:-8], 16.0, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def raft_small():
+    model = RAFT(iters=3)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    return model, variables
+
+
+def test_raft_forward_shape(raft_small):
+    model, variables = raft_small
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    flow = model.apply(variables, a, b, train=False)
+    assert flow.shape == (1, 64, 96, 2)
+    assert np.all(np.isfinite(np.asarray(flow)))
+
+
+def test_raft_rejects_non_multiple_of_8(raft_small):
+    model, variables = raft_small
+    a = jnp.zeros((1, 60, 64, 3))
+    with pytest.raises(ValueError):
+        model.apply(variables, a, a, train=False)
+
+
+def test_raft_identity_frames_small_flow(raft_small):
+    """Same frame twice: a random-init RAFT should still produce a flow
+    field dominated by the (zero-flow) correlation peak after training, but
+    at init we only check it runs and produces finite, bounded output."""
+    model, variables = raft_small
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    flow = np.asarray(model.apply(variables, a, a, train=False))
+    assert np.all(np.isfinite(flow))
+
+
+def test_raft_return_all(raft_small):
+    model, variables = raft_small
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    final, ups = model.apply(variables, a, b, train=False, return_all=True)
+    assert ups.shape == (3, 1, 64, 64, 2)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(ups[-1]))
+
+
+def test_raft_grads_flow():
+    """Supervised EPE loss must differentiate through the whole recurrence."""
+    model = RAFT(iters=2)
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(6), dummy, dummy)
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(rng.randn(1, 32, 32, 2), jnp.float32)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            a, b, train=True, return_all=True,
+            mutable=["batch_stats"],
+        )
+        flow = out if not isinstance(out, tuple) else out[0]
+        return jnp.mean(jnp.abs(flow - gt))
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
