@@ -71,6 +71,33 @@ def main():
 
         runtime = CodecRuntime(model_cfg=config.model_config())
 
+        # Calibrate the entropy bottlenecks to the actual latent statistics
+        # (EB-only fit; transforms untouched). Without this, random-init
+        # latents are maximally surprising to the coder (~26 bpp) and the
+        # bitstream stages measure a pathological workload instead of the
+        # ~1 bpp regime the reference's speed numbers were taken in.
+        from rdvc_tpu.models.raft import RaftRunner
+
+        runner = RaftRunner(iters=config.raft_iters)
+        runtime.attach_raft(runner.model, runner.variables)
+        frames_cal = synth_frames(3, h, w, seed=7)
+        m_lat, r_lat = runtime._fused_encode_fn(
+            runtime.variables, runner.variables,
+            np.stack([frames_cal[0], frames_cal[1]]),
+            np.stack([frames_cal[1], frames_cal[2]]),
+            (config.raft_resize_height, config.raft_resize_width),
+            (1080, 1920), (1080, 1920),
+        )
+        # _fused_encode_fn returns int16 symbols; recover float latents for
+        # calibration by re-running the analysis-only pieces is overkill —
+        # fit on the symbol values directly (they are latent - median).
+        runtime.calibrate_entropy_models(
+            {
+                "motion": np.asarray(m_lat, np.float32)[:, ::4, ::4],
+                "residual": np.asarray(r_lat, np.float32)[:, ::4, ::4],
+            }
+        )
+
         # Warmup: compile all shapes with a 3-frame run.
         warm = CodecConfig(**{**config.__dict__})
         warm.output_rdvc_file = os.path.join(td, "warm.rdvc")

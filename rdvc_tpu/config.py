@@ -76,6 +76,14 @@ class CodecConfig:
     raft_dropout: float = 0.0
     raft_mixed_precision: bool = True  # bf16 on TPU
 
+    # Pipeline performance (TPU-native additions; encode batches P-frames —
+    # valid because the encoder predicts from ground-truth frames)
+    encode_batch_size: int = 8
+    rans_threads: int = 4
+    # Decode GOPs (I-frame-delimited independent chains) in parallel batches;
+    # requires temporal_filter_alpha == 0 (the IIR filter couples GOPs).
+    decode_gop_batch: int = 4
+
     # Decoder specific
     input_rdvc_file: str = "./compressed_video.rdvc"
     output_video_path_decode: str = "./reconstructed_video.mp4"

@@ -91,6 +91,21 @@ class VideoSink:
             self._f.write(rgb_to_yuv420p(rgb).tobytes())
         self.frames_written += 1
 
+    @property
+    def accepts_i420(self) -> bool:
+        """True when raw I420 planes can be written directly (raw-YUV sink),
+        letting the decoder download 1.5 B/px frames from the device."""
+        return self._f is not None
+
+    def write_i420(self, i420: np.ndarray) -> None:
+        """(H*3/2, W) uint8 I420 planes."""
+        if self._f is not None:
+            self._f.write(np.ascontiguousarray(i420).tobytes())
+        else:
+            bgr = cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420)
+            self._writer.write(bgr)
+        self.frames_written += 1
+
     def close(self) -> None:
         if self._writer is not None:
             self._writer.release()

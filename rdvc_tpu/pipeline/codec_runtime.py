@@ -26,6 +26,7 @@ from rdvc_tpu.entropy.rans import (
 from rdvc_tpu.models.codec import VideoCodec, init_codec_variables
 from rdvc_tpu.ops.resize import resize_bilinear, resize_flow
 from rdvc_tpu.ops.warp import bilinear_warp
+from rdvc_tpu.postproc import histogram_match_ycrcb
 from rdvc_tpu.utils.checkpoint import load_checkpoint
 
 
@@ -111,6 +112,298 @@ class CodecRuntime:
         return fn
 
     # ------------------------------------------------------------------
+    # Fused single-dispatch paths (one jitted call per frame: fewer host
+    # round-trips — critical when the device sits behind a tunnel)
+    # ------------------------------------------------------------------
+    def attach_raft(self, raft_model, raft_variables) -> None:
+        """Attach a RAFT flax model + variables for the fused encode path."""
+        self._raft_model = raft_model
+        self._raft_variables = raft_variables
+
+    @functools.cached_property
+    def _fused_encode_fn(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("raft_hw", "comp_hw_flow", "comp_hw_res"),
+        )
+        def fn(
+            variables, raft_variables, prev_u8, cur_u8,
+            raft_hw, comp_hw_flow, comp_hw_res,
+        ):
+            prev = prev_u8.astype(jnp.float32) / 255.0
+            cur = cur_u8.astype(jnp.float32) / 255.0
+            H, W = prev.shape[1:3]
+            p_small = resize_bilinear(prev, raft_hw)
+            c_small = resize_bilinear(cur, raft_hw)
+            flow_small = self._raft_model.apply(
+                raft_variables, p_small, c_small, train=False
+            )
+            flow_orig = resize_flow(flow_small, (H, W))
+            warped = bilinear_warp(prev, flow_orig)
+            pred = self._mc(variables, warped, flow_orig, prev)
+            residual = cur - pred
+            residual_c = resize_bilinear(residual, comp_hw_res, antialias=True)
+            flow_c = resize_flow(flow_orig, comp_hw_flow)
+            m_lat = self._apply(
+                variables, flow_c, method=VideoCodec.analyze_motion
+            )
+            r_lat = self._apply(
+                variables, residual_c, method=VideoCodec.analyze_residual
+            )
+            # Quantize to int16 symbols on device: halves the device->host
+            # transfer (the dominant encode cost over a slow link) and moves
+            # the rounding onto the VPU.
+            m_med = jnp.asarray(self.motion_tables.medians)
+            r_med = jnp.asarray(self.residual_tables.medians)
+            m_sym = jnp.round(m_lat - m_med).astype(jnp.int16)
+            r_sym = jnp.round(r_lat - r_med).astype(jnp.int16)
+            return m_sym, r_sym
+
+        return fn
+
+    def encode_pframe_fused(
+        self,
+        prev_u8: jax.Array,
+        cur_u8,
+        raft_hw: Tuple[int, int],
+        comp_hw_flow: Tuple[int, int],
+        comp_hw_res: Tuple[int, int],
+    ):
+        """uint8 frames in, latents out, one device dispatch. Returns
+        (motion_latents, residual_latents) as async device arrays."""
+        if not hasattr(self, "_raft_model"):
+            raise RuntimeError("attach_raft() first")
+        return self._fused_encode_fn(
+            self.variables, self._raft_variables,
+            prev_u8, jnp.asarray(cur_u8),
+            tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+        )
+
+    def encode_pframes_batched(
+        self,
+        prev_u8,
+        cur_u8,
+        raft_hw: Tuple[int, int],
+        comp_hw_flow: Tuple[int, int],
+        comp_hw_res: Tuple[int, int],
+    ):
+        """Batched P-frame encode: (B, H, W, 3) uint8 prev/cur stacks in,
+        (B, h, w, C) int16 symbol stacks out, ONE device dispatch.
+
+        Valid because the reference encoder predicts from ground-truth
+        frames, never its own reconstructions (codec_processing.py:1499) —
+        P-frames are independent at encode time, so batching them fills the
+        MXU and amortizes the (slow) device->host symbol download.
+        """
+        if not hasattr(self, "_raft_model"):
+            raise RuntimeError("attach_raft() first")
+        return self._fused_encode_fn(
+            self.variables, self._raft_variables,
+            jnp.asarray(prev_u8), jnp.asarray(cur_u8),
+            tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+        )
+
+    # ------------------------------------------------------------------
+    # Compact symbol download: per-channel uint8/uint16 split keyed on the
+    # CDF-table support (static layout -> one compiled pack fn). Channels
+    # whose table span fits a byte travel as uint8 — about half the bytes
+    # over the (slow) device->host pipe. A device-side out-of-range count
+    # guards exactness: any unrepresentable symbol falls back to raw int16.
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _pack_meta(self):
+        def meta(tables: CdfTables):
+            span = tables.cdf_length.astype(np.int64) - 2  # max in-table v
+            idx8 = np.where(span <= 255)[0].astype(np.int32)
+            idx16 = np.where(span > 255)[0].astype(np.int32)
+            return idx8, idx16
+
+        return meta(self.motion_tables), meta(self.residual_tables)
+
+    @functools.cached_property
+    def _pack_fn(self):
+        (m8, m16), (r8, r16) = self._pack_meta
+        m_off = jnp.asarray(self.motion_tables.offset, jnp.int32)
+        r_off = jnp.asarray(self.residual_tables.offset, jnp.int32)
+
+        @jax.jit
+        def fn(m_sym, r_sym):
+            def split(sym, off, i8, i16):
+                v = sym.astype(jnp.int32) - off
+                v8 = jnp.take(v, jnp.asarray(i8), axis=-1)
+                v16 = jnp.take(v, jnp.asarray(i16), axis=-1)
+                bad = jnp.sum((v8 < 0) | (v8 > 255)) + jnp.sum(
+                    (v16 < 0) | (v16 > 65535)
+                )
+                return v8.astype(jnp.uint8), v16.astype(jnp.uint16), bad
+
+            m_u8, m_u16, m_bad = split(m_sym, m_off, m8, m16)
+            r_u8, r_u16, r_bad = split(r_sym, r_off, r8, r16)
+            return m_u8, m_u16, r_u8, r_u16, m_bad + r_bad
+
+        return fn
+
+    def download_symbols(self, m_sym, r_sym) -> Tuple[np.ndarray, np.ndarray]:
+        """Device int16 symbol stacks -> host int32 symbol arrays, via the
+        compact uint8/uint16 split (exact; falls back to raw int16 when a
+        symbol exceeds its channel's packed range)."""
+        (m8, m16), (r8, r16) = self._pack_meta
+        m_u8, m_u16, r_u8, r_u16, bad = self._pack_fn(m_sym, r_sym)
+        if int(np.asarray(bad)) != 0:
+            return (
+                np.asarray(m_sym, np.int32),
+                np.asarray(r_sym, np.int32),
+            )
+
+        def rebuild(u8, u16, i8, i16, tables, shape):
+            v = np.empty(shape, np.int32)
+            if i8.size:
+                v[..., i8] = np.asarray(u8, np.int32)
+            if i16.size:
+                v[..., i16] = np.asarray(u16, np.int32)
+            return v + tables.offset[None, None, None, :]
+
+        m = rebuild(
+            m_u8, m_u16, m8, m16, self.motion_tables, m_sym.shape
+        )
+        r = rebuild(
+            r_u8, r_u16, r8, r16, self.residual_tables, r_sym.shape
+        )
+        return m, r
+
+    def compress_motion_symbols(self, sym) -> Tuple[bytes, Tuple[int, int]]:
+        """int16 symbols (1, h, w, C), already round(y - median)."""
+        s = np.asarray(sym, np.int32)
+        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+
+        _, h, w, c = s.shape
+        idx = _channel_indexes((h, w), c)
+        bs = self.rans.encode(s.ravel(), idx, self.motion_tables)
+        return bs, (h, w)
+
+    def compress_residual_symbols(self, sym) -> Tuple[bytes, Tuple[int, int]]:
+        s = np.asarray(sym, np.int32)
+        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+
+        _, h, w, c = s.shape
+        idx = _channel_indexes((h, w), c)
+        bs = self.rans.encode(s.ravel(), idx, self.residual_tables)
+        return bs, (h, w)
+
+    def decompress_motion_symbols(self, bs: bytes, shape_hw) -> np.ndarray:
+        """-> int16 symbols (1, h, w, C); medians re-added on device."""
+        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+
+        h, w = int(shape_hw[0]), int(shape_hw[1])
+        c = self.motion_tables.medians.shape[0]
+        idx = _channel_indexes((h, w), c)
+        sym = self.rans.decode(bs, idx, self.motion_tables)
+        return sym.reshape(1, h, w, c).astype(np.int16)
+
+    def decompress_residual_symbols(self, bs: bytes, shape_hw) -> np.ndarray:
+        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+
+        h, w = int(shape_hw[0]), int(shape_hw[1])
+        c = self.residual_tables.medians.shape[0]
+        idx = _channel_indexes((h, w), c)
+        sym = self.rans.decode(bs, idx, self.residual_tables)
+        return sym.reshape(1, h, w, c).astype(np.int16)
+
+    @functools.cached_property
+    def _fused_decode_fn(self):
+        @functools.partial(jax.jit, static_argnames=("target_hw",))
+        def fn(
+            variables, prev_raw, q_m, q_r, prev_post, iframe,
+            lmr_threshold, iir_alpha, target_hw,
+        ):
+            # int16 symbols (fast transfer) -> float latents on device
+            if jnp.issubdtype(q_m.dtype, jnp.integer):
+                q_m = q_m.astype(jnp.float32) + jnp.asarray(
+                    self.motion_tables.medians
+                )
+            if jnp.issubdtype(q_r.dtype, jnp.integer):
+                q_r = q_r.astype(jnp.float32) + jnp.asarray(
+                    self.residual_tables.medians
+                )
+            out = self._apply(
+                variables, prev_raw, q_m, q_r, target_hw,
+                method=VideoCodec.reconstruct_p_frame,
+            )
+            raw = out["reconstructed"]
+            flow = out["flow"]
+            # Stage 2: LMR (threshold <= 0 disables via the mask)
+            mag = jnp.sqrt(
+                jnp.square(flow[..., 0]) + jnp.square(flow[..., 1])
+            )
+            mask = jnp.logical_and(mag < lmr_threshold, lmr_threshold > 0)
+            post = jnp.where(mask[..., None], iframe, raw)
+            # Stage 3: histogram match vs previous post-processed frame
+            post = histogram_match_ycrcb(post, prev_post)
+            # Stage 4: IIR (alpha = 0 is identity)
+            post = jnp.clip(
+                iir_alpha * prev_post + (1.0 - iir_alpha) * post, 0.0, 1.0
+            )
+            u8 = jnp.clip(post * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            return raw, post, u8
+
+        return fn
+
+    @functools.cached_property
+    def _to_i420_fn(self):
+        @jax.jit
+        def fn(post):
+            """(B, H, W, 3) float RGB -> (B, H*3/2, W) uint8 I420 planes.
+
+            BT.601 studio-free (full-range JPEG-style, matching the
+            cv2.COLOR_BGR2YUV_I420 constants used by the IO layer) — packs
+            the decoded frame on device so the host download is 1.5 B/px
+            instead of 3.
+            """
+            x = post * 255.0
+            r, g, b = x[..., 0], x[..., 1], x[..., 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            B, H, W = y.shape
+            u_sub = u.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+            v_sub = v.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+            yq = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+            uq = jnp.clip(jnp.round(u_sub), 0, 255).astype(jnp.uint8).reshape(
+                B, H // 4, W
+            )
+            vq = jnp.clip(jnp.round(v_sub), 0, 255).astype(jnp.uint8).reshape(
+                B, H // 4, W
+            )
+            return jnp.concatenate([yq, uq, vq], axis=1)
+
+        return fn
+
+    def to_i420(self, post: jax.Array) -> jax.Array:
+        return self._to_i420_fn(post)
+
+    def decode_pframe_fused(
+        self,
+        prev_raw: jax.Array,
+        q_m,
+        q_r,
+        prev_post: jax.Array,
+        iframe: jax.Array,
+        lmr_threshold: float,
+        iir_alpha: float,
+        target_hw: Tuple[int, int],
+    ):
+        """One dispatch: reconstruct + all post stages + uint8 output.
+        Returns (raw_recon, postprocessed, uint8_frames) — all batched
+        (B, H, W, ...); pass B>1 stacks to decode independent GOPs in
+        parallel (each batch row carries its own recurrence state)."""
+        return self._fused_decode_fn(
+            self.variables, prev_raw, jnp.asarray(q_m), jnp.asarray(q_r),
+            prev_post, iframe,
+            jnp.float32(lmr_threshold), jnp.float32(iir_alpha),
+            tuple(int(v) for v in target_hw),
+        )
+
+    # ------------------------------------------------------------------
     # Public API
     # ------------------------------------------------------------------
     def encode_pframe_latents(
@@ -153,6 +446,80 @@ class CodecRuntime:
             self.variables, prev, jnp.asarray(q_motion), jnp.asarray(q_residual),
             tuple(int(v) for v in target_hw),
         )
+
+    def calibrate_entropy_models(
+        self, latent_samples: dict, steps: int = 150, lr: float = 1e-2
+    ) -> None:
+        """Fit ONLY the entropy-bottleneck densities/quantiles to observed
+        latent statistics (the transforms stay fixed), then rebuild the CDF
+        tables. This is the EB half of training — used to get representative
+        bitstream sizes before a full training run exists, and as a
+        post-training `update()` analog.
+
+        latent_samples: {"motion": (N,h,w,C) array, "residual": ...}
+        """
+        import optax
+
+        params = dict(self.variables["params"])
+        for name, key in (
+            ("motion", "motion_entropy_bottleneck"),
+            ("residual", "residual_entropy_bottleneck"),
+        ):
+            if name not in latent_samples:
+                continue
+            y = jnp.asarray(latent_samples[name], jnp.float32)
+            from rdvc_tpu.entropy.factorized import FactorizedEntropyBottleneck
+
+            channels = (
+                self.cfg.motion_latent_channels
+                if name == "motion"
+                else self.cfg.residual_latent_channels
+            )
+            # Standalone module with the same param subtree as the codec's
+            # submodule (setup() fields aren't reachable outside apply).
+            eb = FactorizedEntropyBottleneck(channels)
+            eb_params = params[key]
+            tx = optax.adam(lr)
+            opt_state = tx.init(eb_params)
+
+            @jax.jit
+            def step(p, s, key_):
+                def loss_fn(pp):
+                    y_hat, lik = eb.apply(
+                        {"params": pp}, y, train=True, noise_key=key_
+                    )
+                    bits = -jnp.sum(jnp.log2(lik))
+                    aux = eb.apply({"params": pp}, method=type(eb).aux_loss)
+                    return bits / y.size + 1e-3 * aux
+
+                g = jax.grad(loss_fn)(p)
+                updates, s2 = tx.update(g, s)
+                return optax.apply_updates(p, updates), s2
+
+            rng = jax.random.PRNGKey(0)
+            for i in range(steps):
+                rng, k = jax.random.split(rng)
+                eb_params, opt_state = step(eb_params, opt_state, k)
+            params[key] = jax.device_get(eb_params)
+        self.variables = {
+            "params": params,
+            "batch_stats": self.variables["batch_stats"],
+        }
+        params_np = jax.tree_util.tree_map(np.asarray, params)
+        self.motion_tables = build_cdf_tables(
+            params_np["motion_entropy_bottleneck"]
+        )
+        self.residual_tables = build_cdf_tables(
+            params_np["residual_entropy_bottleneck"]
+        )
+        # Drop jitted closures that baked in the old tables.
+        for attr in (
+            "_fused_encode_fn",
+            "_fused_decode_fn",
+            "_pack_meta",
+            "_pack_fn",
+        ):
+            self.__dict__.pop(attr, None)
 
     def quantized_latents(self, latents, which: str) -> np.ndarray:
         """Round latents to what a rANS round-trip would produce (symbols

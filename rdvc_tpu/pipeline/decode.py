@@ -30,11 +30,7 @@ from rdvc_tpu.container import (
 from rdvc_tpu.io.jpeg import decode_jpeg
 from rdvc_tpu.io.video import VideoSink
 from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
-from rdvc_tpu.postproc import (
-    histogram_match_ycrcb,
-    low_motion_replacement,
-    temporal_iir_filter,
-)
+from rdvc_tpu.postproc import temporal_iir_filter
 from rdvc_tpu.utils.timers import StageTimer
 
 log = logging.getLogger(__name__)
@@ -49,6 +45,9 @@ def decode_video(
 ) -> Dict:
     """Decode config.input_rdvc_file -> config.output_video_path_decode."""
     timer = timer or StageTimer()
+    from rdvc_tpu.utils.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
     runtime = runtime or CodecRuntime(
         model_cfg=config.model_config(),
         checkpoint_path=(
@@ -76,6 +75,50 @@ def decode_video(
 
     frames_out = [] if collect_frames else None
     n_frames = 0
+    pending_u8 = None  # async device uint8 frame awaiting host write
+
+    # When the sink takes raw I420 and frames aren't collected, frames are
+    # packed to YUV420 on device (half the download bytes).
+    use_i420 = (
+        sink is not None
+        and getattr(sink, "accepts_i420", False)
+        and not collect_frames
+    )
+
+    def emit(u8_frame, kind: str = "rgb") -> None:
+        nonlocal n_frames
+        with timer.span("frame_write"):
+            arr = np.asarray(u8_frame)
+        if kind == "i420":
+            sink.write_i420(arr)
+        else:
+            if sink is not None:
+                sink.write_rgb(arr)
+            if collect_frames:
+                frames_out.append(arr)
+        n_frames += 1
+
+    # GOP-parallel fast path: I-frame-delimited chains are independent when
+    # the IIR filter is off (alpha couples consecutive GOPs through the
+    # I-frame), so decode G of them as one batched recurrence.
+    gop_batch = max(1, getattr(config, "decode_gop_batch", 1))
+    if gop_batch > 1 and config.temporal_filter_alpha == 0:
+        try:
+            _decode_gop_batched(
+                config, runtime, reader, emit, timer, height, width,
+                gop_batch, use_i420,
+            )
+            return {
+                "frames": n_frames,
+                "metadata": meta,
+                "decoded_frames": frames_out,
+                "timings": timer.summary(),
+            }
+        finally:
+            reader.close()
+            if own_sink and sink is not None:
+                sink.close()
+
     try:
         for rec in reader.frames():
             if rec.frame_type == "I":
@@ -88,6 +131,11 @@ def decode_video(
                 post = frame
                 if prev_post is not None and float(iir_alpha) > 0:
                     post = temporal_iir_filter(post, prev_post, iir_alpha)
+                if pending_u8 is not None:
+                    emit(pending_u8)
+                pending_u8 = jnp.clip(
+                    post[0] * 255.0 + 0.5, 0, 255
+                ).astype(jnp.uint8)
             else:
                 if ref_raw is None:
                     log.warning("P-frame %d before any I-frame; skipped", rec.index)
@@ -95,39 +143,27 @@ def decode_video(
                 with timer.span("payload_unpack"):
                     m_shape, m_bs, r_shape, r_bs = unpack_pframe_payload(rec.payload)
                 with timer.span("rans_decode"):
-                    q_m = runtime.decompress_motion(m_bs, m_shape)
-                    q_r = runtime.decompress_residual(r_bs, r_shape)
-                with timer.span("reconstruct_device"):
-                    out = runtime.reconstruct_p_frame(
-                        ref_raw, q_m, q_r, (height, width)
+                    q_m = runtime.decompress_motion_symbols(m_bs, m_shape)
+                    q_r = runtime.decompress_residual_symbols(r_bs, r_shape)
+                # One fused dispatch: reconstruct + LMR + hist-match + IIR
+                # + uint8 conversion (post-processing stays on device).
+                with timer.span("decode_dispatch"):
+                    raw, post, u8 = runtime.decode_pframe_fused(
+                        ref_raw, q_m, q_r,
+                        prev_post if prev_post is not None else ref_raw,
+                        latest_iframe if latest_iframe is not None else ref_raw,
+                        config.low_motion_replacement_threshold,
+                        config.temporal_filter_alpha,
+                        (height, width),
                     )
-                raw = out["reconstructed"]
-                post = raw
-                # Stage 2: low-motion region replacement (P only)
-                if config.low_motion_replacement_threshold > 0 and latest_iframe is not None:
-                    with timer.span("post_lmr"):
-                        post, _ = low_motion_replacement(
-                            post, out["flow"], latest_iframe, lmr_threshold
-                        )
-                # Stage 3: histogram matching vs previous post-processed (P only)
-                if prev_post is not None:
-                    with timer.span("post_histmatch"):
-                        post = histogram_match_ycrcb(post, prev_post)
-                # Stage 4: temporal IIR (all frames; alpha 0 disables)
-                if float(iir_alpha) > 0 and prev_post is not None:
-                    with timer.span("post_iir"):
-                        post = temporal_iir_filter(post, prev_post, iir_alpha)
+                # Overlap: write the previous frame while this one computes.
+                if pending_u8 is not None:
+                    emit(pending_u8)
+                pending_u8 = u8[0]
                 ref_raw = raw  # codec reference stays RAW
             prev_post = post
-            with timer.span("frame_write"):
-                rgb_out = np.asarray(
-                    jnp.clip(post[0] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-                )
-            if sink is not None:
-                sink.write_rgb(rgb_out)
-            if collect_frames:
-                frames_out.append(rgb_out)
-            n_frames += 1
+        if pending_u8 is not None:
+            emit(pending_u8)
     finally:
         reader.close()
         if own_sink and sink is not None:
@@ -139,3 +175,139 @@ def decode_video(
         "decoded_frames": frames_out,
         "timings": timer.summary(),
     }
+
+
+def _decode_gop_batched(
+    config: CodecConfig,
+    runtime: CodecRuntime,
+    reader: RdvcReader,
+    emit,
+    timer: StageTimer,
+    height: int,
+    width: int,
+    gop_batch: int,
+    use_i420: bool = False,
+) -> None:
+    """Decode consecutive GOPs as one batched recurrence.
+
+    Each batch row carries its own (ref_raw, prev_post, iframe) state; the
+    within-GOP P-frame chain remains strictly serial (the codec recurrence),
+    but G chains advance per device dispatch. Host rANS for all payloads of
+    the group runs in a thread pool up front. Frames are emitted in
+    container order after the group completes.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=max(1, config.rans_threads))
+
+    def process_group(group) -> None:
+        # Pad to the fixed batch size so every group hits one compiled
+        # shape; padded rows are dropped at emit time.
+        real = len(group)
+        while len(group) < gop_batch:
+            group = group + [group[-1]]
+        B = len(group)
+        with timer.span("iframe_decode"):
+            irgb = np.stack([decode_jpeg(g["ibytes"]) for g in group])
+
+        with timer.span("rans_decode"):
+            tasks = []
+            for gi, g in enumerate(group):
+                for t, payload in enumerate(g["p"]):
+                    tasks.append((gi, t) + payload)
+
+            def dec_one(task):
+                gi, t, m_shape, m_bs, r_shape, r_bs = task
+                return (
+                    gi, t,
+                    runtime.decompress_motion_symbols(m_bs, m_shape),
+                    runtime.decompress_residual_symbols(r_bs, r_shape),
+                )
+
+            syms = {}
+            for gi, t, qm, qr in pool.map(dec_one, tasks):
+                syms[(gi, t)] = (qm, qr)
+
+        state_raw = jnp.asarray(irgb.astype(np.float32) / 255.0)
+        prev_post = state_raw
+        iframe = state_raw
+        if use_i420:
+            from rdvc_tpu.io.yuv import rgb_to_yuv420p
+
+            out_frames = [
+                [("i420", rgb_to_yuv420p(irgb[i]))] for i in range(B)
+            ]
+        else:
+            out_frames = [[("rgb", irgb[i])] for i in range(B)]
+        max_len = max(len(g["p"]) for g in group)
+        fallback = next(iter(syms.values())) if syms else None
+        kind = "i420" if use_i420 else "rgb"
+        pending_dl = None  # (active_rows, async device frame array)
+
+        def drain_download():
+            nonlocal pending_dl
+            if pending_dl is None:
+                return
+            act, dev = pending_dl
+            pending_dl = None
+            with timer.span("frame_download"):
+                arr = np.asarray(dev)
+            for gi in act:
+                out_frames[gi].append((kind, arr[gi]))
+
+        for t in range(max_len):
+            qm_rows, qr_rows, active = [], [], []
+            for gi, g in enumerate(group):
+                if t < len(g["p"]):
+                    active.append(gi)
+                    qm, qr = syms[(gi, t)]
+                elif g["p"]:
+                    qm, qr = syms[(gi, len(g["p"]) - 1)]
+                else:
+                    # GOP with no P-frames (lone I-frame): dummy row,
+                    # output discarded.
+                    qm, qr = fallback
+                qm_rows.append(qm[0])
+                qr_rows.append(qr[0])
+            with timer.span("decode_dispatch"):
+                raw, post, u8 = runtime.decode_pframe_fused(
+                    state_raw,
+                    np.stack(qm_rows),
+                    np.stack(qr_rows),
+                    prev_post,
+                    iframe,
+                    config.low_motion_replacement_threshold,
+                    0.0,
+                    (height, width),
+                )
+                frame_dev = runtime.to_i420(post) if use_i420 else u8
+            state_raw, prev_post = raw, post
+            # Download of step t-1 overlaps the device computing step t.
+            drain_download()
+            pending_dl = (active, frame_dev)
+        drain_download()
+        for gi in range(real):
+            for k2, f in out_frames[gi]:
+                emit(f, k2)
+
+    group = []
+    current = None
+    for rec in reader.frames():
+        if rec.frame_type == "I":
+            if current is not None:
+                group.append(current)
+                if len(group) >= gop_batch:
+                    process_group(group)
+                    group = []
+            _, ibytes = unpack_iframe_payload(rec.payload)
+            current = {"ibytes": ibytes, "p": []}
+        else:
+            if current is None:
+                log.warning("P-frame %d before any I-frame; skipped", rec.index)
+                continue
+            current["p"].append(unpack_pframe_payload(rec.payload))
+    if current is not None:
+        group.append(current)
+    if group:
+        process_group(group)
+    pool.shutdown()

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -59,6 +60,9 @@ def encode_video(
     Returns summary stats (frame counts, byte counts, metadata dict).
     """
     timer = timer or StageTimer()
+    from rdvc_tpu.utils.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
     runtime = runtime or CodecRuntime(
         model_cfg=config.model_config(),
         checkpoint_path=(
@@ -80,53 +84,161 @@ def encode_video(
         config.residual_compress_height, width, height
     )
     raft_hw = (config.raft_resize_height, config.raft_resize_width)
-    flow_fn = make_flow_backend(
-        config.raft_backend,
-        raft_iters=config.raft_iters,
-        raft_checkpoint_path=config.raft_checkpoint_path,
-    )
+
+    # Fused single-dispatch path when the flow estimator is the JAX RAFT;
+    # host backends (farneback/zero) fall back to the staged path.
+    use_fused = config.raft_backend in ("auto", "raft", "jax")
+    flow_fn = None
+    if use_fused:
+        try:
+            from rdvc_tpu.models.raft import RaftRunner
+
+            runner = RaftRunner(
+                iters=config.raft_iters,
+                checkpoint_path=config.raft_checkpoint_path,
+            )
+            runtime.attach_raft(runner.model, runner.variables)
+        except Exception:
+            if config.raft_backend != "auto":
+                raise
+            use_fused = False
+    if not use_fused:
+        flow_fn = make_flow_backend(
+            config.raft_backend,
+            raft_iters=config.raft_iters,
+            raft_checkpoint_path=config.raft_checkpoint_path,
+        )
 
     writer = RdvcWriter(config.output_rdvc_file)
+    rans_pool = ThreadPoolExecutor(max_workers=max(1, config.rans_threads))
+    io_pool = ThreadPoolExecutor(max_workers=1)  # serializes downloads
     prev_rgb: Optional[np.ndarray] = None
-    prev_dev = None  # (1, H, W, 3) device tensor of previous frame
+    prev_dev = None      # previous frame on device (staged path only)
+    batch = []           # [(idx, prev_rgb, cur_rgb)] pending P-frames
+    inflight = []        # [(indices, future)] batches being downloaded/coded
+    pending_single = None  # staged-path single-frame pending
     idx = 0
+
+    def rans_one(args):
+        m_np, r_np = args
+        m_bs, m_shape = runtime.compress_motion_symbols(m_np)
+        r_bs, r_shape = runtime.compress_residual_symbols(r_np)
+        return m_bs, m_shape, r_bs, r_shape
+
+    def download_only(n_real, m_sym, r_sym):
+        """io_pool worker: materialize device symbols (the serial pipe),
+        then fan per-frame rANS out to rans_pool and return those futures —
+        the download thread never blocks on coding."""
+        with timer.span("symbol_download"):
+            m_np, r_np = runtime.download_symbols(m_sym, r_sym)
+        return [
+            rans_pool.submit(rans_one, (m_np[i : i + 1], r_np[i : i + 1]))
+            for i in range(n_real)
+        ]
+
+    def drain_pending():
+        """Block until all in-flight batches are coded; write them in order."""
+        nonlocal inflight
+        for indices, fut in inflight:
+            frame_futs = fut.result()
+            with timer.span("rans_encode"):
+                results = [f.result() for f in frame_futs]
+            for fidx, (m_bs, m_shape, r_bs, r_shape) in zip(indices, results):
+                writer.add_pframe(fidx, m_shape, m_bs, r_shape, r_bs)
+        inflight = []
+
+    def flush_batch():
+        """Dispatch the accumulated P-frame batch (one device call) and hand
+        the results to the download/coder pipeline."""
+        if not batch:
+            return
+        indices = [b[0] for b in batch]
+        prevs = np.stack([b[1] for b in batch])
+        curs = np.stack([b[2] for b in batch])
+        batch.clear()
+        # Pad partial batches to the fixed size (one compiled shape); the
+        # extra rows are dropped after download.
+        B = max(1, config.encode_batch_size)
+        if prevs.shape[0] < B:
+            reps = B - prevs.shape[0]
+            prevs = np.concatenate([prevs, np.repeat(prevs[-1:], reps, 0)])
+            curs = np.concatenate([curs, np.repeat(curs[-1:], reps, 0)])
+        with timer.span("pframe_dispatch"):
+            m_sym, r_sym = runtime.encode_pframes_batched(
+                prevs, curs, raft_hw, flow_hw, res_hw
+            )
+        inflight.append(
+            (indices, io_pool.submit(download_only, len(indices), m_sym, r_sym))
+        )
+
+    def flush_pending_single():
+        nonlocal pending_single
+        if pending_single is None:
+            return
+        pidx, m_lat, r_lat = pending_single
+        pending_single = None
+        with timer.span("rans_encode"):
+            m_bs, m_shape = runtime.compress_motion(m_lat)
+            r_bs, r_shape = runtime.compress_residual(r_lat)
+        writer.add_pframe(pidx, m_shape, m_bs, r_shape, r_bs)
+
     for rgb in frames:
         is_iframe = (idx % config.iframe_interval == 0) or prev_rgb is None
         if is_iframe:
+            if use_fused:
+                flush_batch()
+                drain_pending()
+            else:
+                flush_pending_single()
             with timer.span("iframe_jpeg"):
                 writer.add_iframe(
                     idx, encode_jpeg(rgb, config.iframe_jpeg_quality)
                 )
             prev_rgb = rgb
-            prev_dev = jnp.asarray(
-                rgb[None].astype(np.float32) / 255.0
-            )
+            if not use_fused:
+                prev_dev = jnp.asarray(rgb[None].astype(np.float32) / 255.0)
         else:
             try:
-                cur_dev = jnp.asarray(rgb[None].astype(np.float32) / 255.0)
-                with timer.span("flow_estimation"):
-                    f1 = _resize_host(prev_rgb, raft_hw)
-                    f2 = _resize_host(rgb, raft_hw)
-                    flow_raft = flow_fn(f1, f2)  # (1, rh, rw, 2)
-                with timer.span("flow_upscale"):
-                    flow_orig = resize_flow(jnp.asarray(flow_raft), (height, width))
-                with timer.span("pframe_device"):
-                    m_lat, r_lat = runtime.encode_pframe_latents(
-                        prev_dev, cur_dev, flow_orig, flow_hw, res_hw
-                    )
-                with timer.span("rans_encode"):
-                    m_bs, m_shape = runtime.compress_motion(m_lat)
-                    r_bs, r_shape = runtime.compress_residual(r_lat)
-                writer.add_pframe(idx, m_shape, m_bs, r_shape, r_bs)
+                if use_fused:
+                    batch.append((idx, prev_rgb, rgb))
+                    if len(batch) >= max(1, config.encode_batch_size):
+                        flush_batch()
+                else:
+                    cur_dev = jnp.asarray(rgb[None].astype(np.float32) / 255.0)
+                    with timer.span("flow_estimation"):
+                        f1 = _resize_host(prev_rgb, raft_hw)
+                        f2 = _resize_host(rgb, raft_hw)
+                        flow_raft = flow_fn(f1, f2)  # (1, rh, rw, 2)
+                    with timer.span("pframe_device"):
+                        flow_orig = resize_flow(
+                            jnp.asarray(flow_raft), (height, width)
+                        )
+                        m_lat, r_lat = runtime.encode_pframe_latents(
+                            prev_dev, cur_dev, flow_orig, flow_hw, res_hw
+                        )
+                    flush_pending_single()
+                    pending_single = (idx, m_lat, r_lat)
+                    prev_dev = cur_dev
                 # Reference uses the ground-truth current frame as the next
                 # reference at encode time (codec_processing.py:1499).
                 prev_rgb = rgb
-                prev_dev = cur_dev
             except Exception:
                 log.exception("P-frame %d failed; forcing next I-frame", idx)
+                if use_fused:
+                    flush_batch()
+                    drain_pending()
+                else:
+                    flush_pending_single()
                 prev_rgb = None
                 prev_dev = None
         idx += 1
+    if use_fused:
+        flush_batch()
+        drain_pending()
+    else:
+        flush_pending_single()
+    rans_pool.shutdown()
+    io_pool.shutdown()
 
     metadata = {
         "rdvc_version": "1.0",

@@ -37,15 +37,39 @@ def ycrcb_to_rgb(ycrcb: jax.Array) -> jax.Array:
     return jnp.clip(rgb, 0.0, 1.0)
 
 
+_HIST_CHUNK = 65536
+
+
+def _histogram_256(q: jax.Array) -> jax.Array:
+    """Scatter-free 256-bin histogram of int32 values in [0, 255].
+
+    TPU scatter-adds serialize; a scan over comparison chunks keeps the
+    whole reduction on the VPU (each step: (chunk, 256) equality matrix
+    summed over the chunk axis).
+    """
+    n = q.shape[0]
+    pad = (-n) % _HIST_CHUNK
+    qp = jnp.pad(q, (0, pad), constant_values=-1)  # -1 hits no bin
+    chunks = qp.reshape(-1, _HIST_CHUNK)
+    bins = jnp.arange(_BINS, dtype=q.dtype)
+
+    def body(acc, chunk):
+        acc = acc + jnp.sum(
+            (chunk[:, None] == bins[None, :]).astype(jnp.float32), axis=0
+        )
+        return acc, None
+
+    hist, _ = jax.lax.scan(body, jnp.zeros(_BINS, jnp.float32), chunks)
+    return hist
+
+
 def _match_channel(src: jax.Array, tmpl: jax.Array) -> jax.Array:
     """Match one flattened uint8-domain channel to a template's histogram."""
     src_q = jnp.clip(jnp.round(src), 0, 255).astype(jnp.int32)
     tmpl_q = jnp.clip(jnp.round(tmpl), 0, 255).astype(jnp.int32)
     n = src_q.shape[0]
-    src_hist = jnp.zeros(_BINS, jnp.float32).at[src_q].add(1.0)
-    tmpl_hist = jnp.zeros(_BINS, jnp.float32).at[tmpl_q].add(1.0)
-    src_cdf = jnp.cumsum(src_hist) / n
-    tmpl_cdf = jnp.cumsum(tmpl_hist) / tmpl_q.shape[0]
+    src_cdf = jnp.cumsum(_histogram_256(src_q)) / n
+    tmpl_cdf = jnp.cumsum(_histogram_256(tmpl_q)) / tmpl_q.shape[0]
     levels = jnp.arange(_BINS, dtype=jnp.float32)
     # value v -> quantile src_cdf[v] -> template value at that quantile
     lut = jnp.interp(src_cdf, tmpl_cdf, levels)
@@ -57,16 +81,23 @@ def histogram_match_ycrcb(current: jax.Array, reference: jax.Array) -> jax.Array
     """Match `current` to `reference`'s histogram, per YCrCb channel.
 
     Args:
-      current, reference: (1, H, W, 3) float [0,1] RGB frames.
+      current, reference: (B, H, W, 3) float [0,1] RGB frames; each batch
+      element is matched against its own reference (histograms are
+      per-sample, vmapped over the batch).
     Returns:
-      (1, H, W, 3) float [0,1] RGB.
+      (B, H, W, 3) float [0,1] RGB.
     """
     cur = rgb_to_ycrcb(current)
     ref = rgb_to_ycrcb(reference)
+    B = cur.shape[0]
     shape = cur.shape
-    matched = []
-    for ch in range(3):
-        m = _match_channel(cur[..., ch].reshape(-1), ref[..., ch].reshape(-1))
-        matched.append(m.reshape(shape[:-1]))
-    out = jnp.stack(matched, axis=-1)
-    return ycrcb_to_rgb(out)
+    cur_flat = cur.reshape(B, -1, 3)
+    ref_flat = ref.reshape(B, -1, 3)
+
+    def one(c, r):
+        return jnp.stack(
+            [_match_channel(c[:, i], r[:, i]) for i in range(3)], axis=-1
+        )
+
+    out = jax.vmap(one)(cur_flat, ref_flat)
+    return ycrcb_to_rgb(out.reshape(shape))

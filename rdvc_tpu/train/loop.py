@@ -283,6 +283,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, state: TrainState, path: Optional[str] = None) -> str:
+        """Latest-only checkpoint with optimizer state + phase tag
+        (reference new_train.py:1051-1056 stores model/optimizer/scaler/
+        optimizer_mode; bf16 has no scaler)."""
         path = path or os.path.join(
             self.cfg.checkpoint_dir, "latest_checkpoint_3phase.ckpt"
         )
@@ -291,6 +294,7 @@ class Trainer:
             {
                 "params": state.params,
                 "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
             },
             metadata={
                 "epoch": state.epoch,
@@ -304,9 +308,23 @@ class Trainer:
 
     def restore(self, path: str, spatial=(64, 64)) -> TrainState:
         state = self.init_state(spatial=spatial)
-        variables, meta = load_checkpoint(
-            path, {"params": state.params, "batch_stats": state.batch_stats}
-        )
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        try:
+            variables, meta = load_checkpoint(path, template)
+            opt_state = variables.get("opt_state", state.opt_state)
+        except Exception:
+            # Older checkpoint without optimizer state (or a different
+            # optimizer tree): load model variables only, like the
+            # reference's strict=False path (new_train.py:397-411).
+            variables, meta = load_checkpoint(
+                path,
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            opt_state = state.opt_state
         epoch = int(meta.get("epoch", 1))
         st = dataclasses.replace(
             state,
@@ -315,7 +333,15 @@ class Trainer:
             epoch=epoch,
             step=int(meta.get("step", 0)),
         )
-        return self.maybe_reconfigure(st, epoch)
+        reconfigured = self.maybe_reconfigure(st, epoch)
+        if (
+            meta.get("optimizer_mode") == reconfigured.optimizer_mode
+            and opt_state is not state.opt_state
+        ):
+            reconfigured = dataclasses.replace(
+                reconfigured, opt_state=opt_state
+            )
+        return reconfigured
 
     # ------------------------------------------------------------------
     def fit(
@@ -364,4 +390,13 @@ class Trainer:
                 {k: round(v / max(n, 1), 5) for k, v in agg.items()},
             )
             self.save(state)
+            if self.cfg.vis_dir and n > 0:
+                try:
+                    from rdvc_tpu.train.visualize import visualize_epoch
+
+                    visualize_epoch(
+                        self, state, batch, epoch, phase, self.cfg.vis_dir
+                    )
+                except Exception:
+                    log.exception("epoch visualization failed")
         return state

@@ -153,3 +153,48 @@ def test_cli_encode_decode(tmp_path, runtime, monkeypatch):
         ]
     )
     assert rc == 0
+
+
+def test_encode_decode_fused_raft(tmp_path, runtime):
+    """Fused single-dispatch encode (JAX RAFT) + fused decode round trip."""
+    in_path, _ = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    config.raft_backend = "raft"
+    config.raft_resize_height = 32
+    config.raft_resize_width = 48
+    config.raft_iters = 2
+    enc = encode_video(config, runtime=runtime)
+    assert enc["frames"] == 6
+    dec = decode_video(config, runtime=runtime, collect_frames=True)
+    assert dec["frames"] == 6
+    assert all(f.shape == (64, 96, 3) for f in dec["decoded_frames"])
+    # determinism of the fused path
+    dec2 = decode_video(config, runtime=runtime, collect_frames=True)
+    for a, b in zip(dec["decoded_frames"], dec2["decoded_frames"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gop_batched_matches_serial(tmp_path, runtime):
+    """Batched-GOP decode must produce identical frames to the serial path."""
+    in_path, _ = _make_video(tmp_path, n=10)
+    config = _small_config(tmp_path, in_path)
+    encode_video(config, runtime=runtime)
+    config.decode_gop_batch = 4
+    d_batched = decode_video(config, runtime=runtime, collect_frames=True)
+    config.decode_gop_batch = 1
+    d_serial = decode_video(config, runtime=runtime, collect_frames=True)
+    assert d_batched["frames"] == d_serial["frames"] == 10
+    for i, (a, b) in enumerate(
+        zip(d_batched["decoded_frames"], d_serial["decoded_frames"])
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+
+
+def test_gop_batched_lone_trailing_iframe(tmp_path, runtime):
+    """A video ending exactly on an I-frame (zero-P GOP) must decode."""
+    in_path, _ = _make_video(tmp_path, n=9)  # iframe_interval=4: I@0,4,8; GOP3 = lone I
+    config = _small_config(tmp_path, in_path)
+    encode_video(config, runtime=runtime)
+    config.decode_gop_batch = 4
+    dec = decode_video(config, runtime=runtime, collect_frames=True)
+    assert dec["frames"] == 9

@@ -209,3 +209,36 @@ def test_real_bitstream_check(trainer):
     batch = next(batch_iterator(ds, 2, shuffle=False))
     sizes = trainer.real_bitstream_check(state, batch)
     assert sizes["motion_kb"] > 0 and sizes["residual_kb"] > 0
+
+
+def test_checkpoint_includes_optimizer_state(tmp_path, trainer):
+    from rdvc_tpu.train.data import SyntheticFlowPairDataset, batch_iterator
+
+    ds = SyntheticFlowPairDataset(size=32, length=4, seed=7)
+    state = trainer.init_state(spatial=(32, 32))
+    batch = next(batch_iterator(ds, 2, shuffle=False))
+    state, _ = trainer.train_step(state, batch, phase=1)
+    path = str(tmp_path / "opt.ckpt")
+    trainer.save(state, path)
+    restored = trainer.restore(path, spatial=(32, 32))
+    # Adam moments carried over (nonzero after a step)
+    orig_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    rest_leaves = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(orig_leaves) == len(rest_leaves)
+    matched = sum(
+        np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(orig_leaves, rest_leaves)
+        if hasattr(a, "shape") and np.asarray(a).size
+    )
+    assert matched > 0
+
+
+def test_epoch_visualization(tmp_path, trainer):
+    from rdvc_tpu.train.data import SyntheticFlowPairDataset, batch_iterator
+    from rdvc_tpu.train.visualize import visualize_epoch
+
+    ds = SyntheticFlowPairDataset(size=32, length=2, seed=8)
+    state = trainer.init_state(spatial=(32, 32))
+    batch = next(batch_iterator(ds, 2, shuffle=False))
+    path = visualize_epoch(trainer, state, batch, 3, 2, str(tmp_path / "vis"))
+    assert path and os.path.getsize(path) > 0
