@@ -80,6 +80,10 @@ class CodecConfig:
     # valid because the encoder predicts from ground-truth frames)
     encode_batch_size: int = 8
     rans_threads: int = 4
+    # Entropy-code on the TPU (chunked rANS16): the host downloads only the
+    # compressed payload instead of raw latent symbols. Frames with
+    # out-of-table symbols fall back to the host coder automatically.
+    device_entropy_coding: bool = True
     # Decode GOPs (I-frame-delimited independent chains) in parallel batches;
     # requires temporal_filter_alpha == 0 (the IIR filter couples GOPs).
     decode_gop_batch: int = 4
@@ -89,6 +93,9 @@ class CodecConfig:
     output_video_path_decode: str = "./reconstructed_video.mp4"
     debug_frames_dir_decode: str = "./debug_frames_decoder"
     debug_frame_interval_decode: int = 10
+    # Staged debug PNG dumps (reference dumps by default; here opt-in since
+    # they force the serial decode path)
+    debug_dump_enabled: bool = False
     low_motion_replacement_threshold: float = 0.0
     temporal_filter_alpha: float = 0.0
 

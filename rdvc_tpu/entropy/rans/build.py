@@ -24,6 +24,7 @@ def build(force: bool = False) -> str:
         "-std=c++17",
         "-shared",
         "-fPIC",
+        "-pthread",
         "-o",
         LIB,
         SRC,

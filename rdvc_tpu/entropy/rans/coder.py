@@ -58,6 +58,19 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.rdvc_rans16_decode.restype = ctypes.c_int64
+        lib.rdvc_rans16_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -264,10 +277,72 @@ def _channel_indexes(shape_hw: tuple, channels: int) -> np.ndarray:
     return np.tile(np.arange(channels, dtype=np.int32), h * w)
 
 
+# Payload tags: single-stream host rANS (0x01) vs chunked device rANS16
+# (0x02, entropy/device_rans.py). Dispatch happens at decode time.
+SINGLE_TAG = 0x01
+CHUNKED_TAG = 0x02
+
+
+def decode_chunked(
+    payload: bytes,
+    indexes: np.ndarray,
+    tables: CdfTables,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """Decode a chunked rANS16 payload (C++ parallel-stream fast path with a
+    pure-Python fallback)."""
+    indexes = np.ascontiguousarray(indexes, np.int32)
+    lib = _load_lib()
+    if lib is None:
+        from rdvc_tpu.entropy.device_rans import decode_chunked_py
+
+        return decode_chunked_py(payload, indexes, tables)
+    buf = np.frombuffer(payload, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    cdfs = np.ascontiguousarray(tables.quantized_cdf, np.uint32)
+    lens = np.ascontiguousarray(tables.cdf_length, np.int32)
+    offs = np.ascontiguousarray(tables.offset, np.int32)
+    out = np.zeros(indexes.shape[0], np.int32)
+    rc = lib.rdvc_rans16_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.shape[0],
+        indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indexes.shape[0],
+        cdfs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cdfs.shape[1],
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        num_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"chunked rANS decode failed: {rc}")
+    return out
+
+
+def decode_payload(
+    payload: bytes,
+    indexes: np.ndarray,
+    tables: CdfTables,
+    codec: Optional[RansCodec] = None,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """Tag-dispatching decode -> int32 symbols."""
+    if not payload:
+        raise ValueError("empty payload")
+    tag = payload[0]
+    if tag == SINGLE_TAG:
+        codec = codec or RansCodec()
+        return codec.decode(payload[1:], indexes, tables)
+    if tag == CHUNKED_TAG:
+        return decode_chunked(payload, indexes, tables, num_threads)
+    raise ValueError(f"unknown payload tag {tag}")
+
+
 def encode_with_tables(
     latent: np.ndarray, tables: CdfTables, codec: Optional[RansCodec] = None
 ) -> bytes:
-    """Compress a (1, H, W, C) float latent into a bytestring
+    """Compress a (1, H, W, C) float latent into a tagged bytestring
     (EntropyBottleneck.compress equivalent)."""
     codec = codec or RansCodec()
     assert latent.ndim == 4 and latent.shape[0] == 1, latent.shape
@@ -276,7 +351,7 @@ def encode_with_tables(
         np.asarray(latent[0], np.float64) - tables.medians[None, None, :]
     ).astype(np.int32)
     indexes = _channel_indexes((h, w), c)
-    return codec.encode(sym.ravel(), indexes, tables)
+    return bytes([SINGLE_TAG]) + codec.encode(sym.ravel(), indexes, tables)
 
 
 def decode_with_tables(
@@ -291,6 +366,6 @@ def decode_with_tables(
     h, w = int(shape_hw[0]), int(shape_hw[1])
     c = tables.medians.shape[0]
     indexes = _channel_indexes((h, w), c)
-    sym = codec.decode(data, indexes, tables).reshape(h, w, c)
+    sym = decode_payload(data, indexes, tables, codec).reshape(h, w, c)
     latent = sym.astype(np.float32) + tables.medians[None, None, :]
     return latent[None]

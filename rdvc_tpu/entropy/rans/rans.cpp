@@ -13,6 +13,7 @@
 //   v = symbol[e] - offset[c]; max_v = cdf_length[c] - 2;
 //   if 0 <= v < max_v: coded directly; else escape (max_v) + bypass varint.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -204,6 +205,108 @@ int64_t rdvc_rans_decode(const uint8_t* data, int64_t data_len,
     out_symbols[e] = static_cast<int32_t>(v + offsets[c]);
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Chunked rANS16 decoder (payload tag 0x02; see entropy/device_rans.py).
+// 16-bit renormalization variant produced by the TPU-side encoder: per
+// stream, words are [state_hi, state_lo, emitted words in decode order].
+// Streams are independent -> decoded in parallel with std::thread.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+struct StreamSpan {
+  const uint16_t* words;
+  int64_t n_words;
+  int64_t base;   // first symbol index
+  int64_t count;  // symbols in this stream
+};
+
+int decode_stream16(const StreamSpan& sp, const int32_t* indexes,
+                    const uint32_t* cdfs, int64_t cdf_stride,
+                    const int32_t* cdf_lengths, const int32_t* offsets,
+                    int32_t* out) {
+  if (sp.n_words < 2) return -10;
+  uint32_t state = (static_cast<uint32_t>(sp.words[0]) << 16) | sp.words[1];
+  int64_t pos = 2;
+  for (int64_t t = 0; t < sp.count; ++t) {
+    const int32_t c = indexes[sp.base + t];
+    const uint32_t* cdf = cdfs + c * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[c];
+    const uint32_t cum = state & 0xffffu;
+    int32_t s = 0;
+    while (s + 1 < cdf_len - 1 && cdf[s + 1] <= cum) ++s;
+    state = (cdf[s + 1] - cdf[s]) * (state >> 16) + cum - cdf[s];
+    if (state < (1u << 16)) {
+      if (pos >= sp.n_words) return -11;
+      state = (state << 16) | sp.words[pos++];
+    }
+    if (s == cdf_len - 2) return -12;  // escape: not valid in chunked streams
+    out[sp.base + t] = s + offsets[c];
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a chunked rANS16 payload (starting at the 0x02 tag byte).
+// Returns 0 on success; negative on malformed input or escapes.
+int64_t rdvc_rans16_decode(const uint8_t* payload, int64_t payload_len,
+                           const int32_t* indexes, int64_t n_symbols,
+                           const uint32_t* cdfs, int64_t cdf_stride,
+                           const int32_t* cdf_lengths, const int32_t* offsets,
+                           int32_t* out, int32_t num_threads) {
+  if (payload_len < 7 || payload[0] != 0x02) return -20;
+  uint32_t n = 0;
+  std::memcpy(&n, payload + 1, 4);
+  uint16_t S = 0;
+  std::memcpy(&S, payload + 5, 2);
+  if (static_cast<int64_t>(n) != n_symbols || S == 0) return -21;
+  const int64_t L = (n_symbols + S - 1) / S;
+  int64_t off = 7 + 4ll * S;
+  if (off > payload_len) return -22;
+  std::vector<StreamSpan> spans(S);
+  for (int s = 0; s < S; ++s) {
+    uint32_t len = 0;
+    std::memcpy(&len, payload + 7 + 4ll * s, 4);
+    if (off + len > payload_len || (len & 1)) return -23;
+    spans[s].words = reinterpret_cast<const uint16_t*>(payload + off);
+    spans[s].n_words = len / 2;
+    spans[s].base = static_cast<int64_t>(s) * L;
+    spans[s].count =
+        std::max<int64_t>(0, std::min<int64_t>(L, n_symbols - spans[s].base));
+    off += len;
+  }
+
+  std::atomic<int> next(0);
+  std::atomic<int> status(0);
+  const int nt = std::max(1, std::min<int>(num_threads, S));
+  auto worker = [&]() {
+    while (true) {
+      const int s = next.fetch_add(1);
+      if (s >= S || status.load() != 0) return;
+      const int rc = decode_stream16(spans[s], indexes, cdfs, cdf_stride,
+                                     cdf_lengths, offsets, out);
+      if (rc != 0) status.store(rc);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return status.load();
 }
 
 }  // extern "C"

@@ -24,10 +24,22 @@ import jax.numpy as jnp
 
 
 def build_corr_pyramid(
-    fmap1: jax.Array, fmap2: jax.Array, num_levels: int = 4
+    fmap1: jax.Array,
+    fmap2: jax.Array,
+    num_levels: int = 4,
+    use_pallas: bool = False,
 ) -> List[jax.Array]:
     """fmap1/fmap2: (B, H, W, C) 1/8-res features ->
-    [(B*H*W, H/2^l, W/2^l, 1)] correlation pyramid."""
+    [(B*H*W, H/2^l, W/2^l, 1)] correlation pyramid.
+
+    use_pallas=True routes to the fused Pallas kernel
+    (models/raft/pallas_corr.py): one MXU pass computes the volume and all
+    pooled levels without re-reading the volume from HBM — the blockwise
+    variant for larger working resolutions (SURVEY.md hard-part 3)."""
+    if use_pallas and num_levels == 4:
+        from rdvc_tpu.models.raft.pallas_corr import corr_pyramid_pallas
+
+        return corr_pyramid_pallas(fmap1, fmap2)
     B, H, W, C = fmap1.shape
     # Keep the features' dtype (bf16 from the encoders — MXU-native); fp32
     # accumulation via preferred_element_type. HIGHEST precision only

@@ -34,6 +34,8 @@ class RAFT(nn.Module):
     hidden_dim: int = 128
     context_dim: int = 128
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Fused Pallas correlation kernel (TPU only; see pallas_corr.py)
+    use_pallas_corr: bool = False
 
     def setup(self):
         self.fnet = RaftEncoder(
@@ -70,7 +72,9 @@ class RAFT(nn.Module):
 
         fmap1 = self.fnet(x1, train=train)
         fmap2 = self.fnet(x2, train=train)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.num_levels)
+        pyramid = build_corr_pyramid(
+            fmap1, fmap2, self.num_levels, use_pallas=self.use_pallas_corr
+        )
 
         cfeat = self.cnet(x1, train=train)
         hidden = jnp.tanh(cfeat[..., : self.hidden_dim])

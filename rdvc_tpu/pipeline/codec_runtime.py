@@ -273,41 +273,86 @@ class CodecRuntime:
 
     def compress_motion_symbols(self, sym) -> Tuple[bytes, Tuple[int, int]]:
         """int16 symbols (1, h, w, C), already round(y - median)."""
-        s = np.asarray(sym, np.int32)
-        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+        from rdvc_tpu.entropy.rans.coder import SINGLE_TAG, _channel_indexes
 
+        s = np.asarray(sym, np.int32)
         _, h, w, c = s.shape
         idx = _channel_indexes((h, w), c)
-        bs = self.rans.encode(s.ravel(), idx, self.motion_tables)
+        bs = bytes([SINGLE_TAG]) + self.rans.encode(
+            s.ravel(), idx, self.motion_tables
+        )
         return bs, (h, w)
 
     def compress_residual_symbols(self, sym) -> Tuple[bytes, Tuple[int, int]]:
-        s = np.asarray(sym, np.int32)
-        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+        from rdvc_tpu.entropy.rans.coder import SINGLE_TAG, _channel_indexes
 
+        s = np.asarray(sym, np.int32)
         _, h, w, c = s.shape
         idx = _channel_indexes((h, w), c)
-        bs = self.rans.encode(s.ravel(), idx, self.residual_tables)
+        bs = bytes([SINGLE_TAG]) + self.rans.encode(
+            s.ravel(), idx, self.residual_tables
+        )
         return bs, (h, w)
 
     def decompress_motion_symbols(self, bs: bytes, shape_hw) -> np.ndarray:
         """-> int16 symbols (1, h, w, C); medians re-added on device."""
-        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+        from rdvc_tpu.entropy.rans.coder import _channel_indexes, decode_payload
 
         h, w = int(shape_hw[0]), int(shape_hw[1])
         c = self.motion_tables.medians.shape[0]
         idx = _channel_indexes((h, w), c)
-        sym = self.rans.decode(bs, idx, self.motion_tables)
+        sym = decode_payload(bs, idx, self.motion_tables, self.rans)
         return sym.reshape(1, h, w, c).astype(np.int16)
 
     def decompress_residual_symbols(self, bs: bytes, shape_hw) -> np.ndarray:
-        from rdvc_tpu.entropy.rans.coder import _channel_indexes
+        from rdvc_tpu.entropy.rans.coder import _channel_indexes, decode_payload
 
         h, w = int(shape_hw[0]), int(shape_hw[1])
         c = self.residual_tables.medians.shape[0]
         idx = _channel_indexes((h, w), c)
-        sym = self.rans.decode(bs, idx, self.residual_tables)
+        sym = decode_payload(bs, idx, self.residual_tables, self.rans)
         return sym.reshape(1, h, w, c).astype(np.int16)
+
+    # ------------------------------------------------------------------
+    # Device-side entropy coding fast path: the TPU emits the compressed
+    # words itself (entropy/device_rans.py), so the host downloads only
+    # ~bpp/8 bytes per pixel instead of raw symbols. Escapes (out-of-table
+    # symbols) fall back per frame to the host coder.
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _device_encoders(self):
+        from rdvc_tpu.entropy.device_rans import DeviceRansEncoder
+
+        return (
+            DeviceRansEncoder(self.motion_tables),
+            DeviceRansEncoder(self.residual_tables),
+        )
+
+    def encode_frame_device_rans(self, m_sym_1, r_sym_1):
+        """Dispatch device entropy coding for ONE frame's symbol tensors
+        (1, h, w, C). Returns opaque async handles for assemble_frame()."""
+        menc, renc = self._device_encoders
+        return (
+            menc.encode_device(m_sym_1),
+            renc.encode_device(r_sym_1),
+            m_sym_1,
+            r_sym_1,
+        )
+
+    def assemble_frame(self, handles) -> Tuple[bytes, Tuple[int, int], bytes, Tuple[int, int]]:
+        """Host side of the device-coded frame: download compact words and
+        build tagged payloads; per-side host fallback when escapes exist."""
+        mh, rh, m_sym_1, r_sym_1 = handles
+        menc, renc = self._device_encoders
+        m_shape = (m_sym_1.shape[1], m_sym_1.shape[2])
+        r_shape = (r_sym_1.shape[1], r_sym_1.shape[2])
+        m_bs = menc.assemble(*mh)
+        r_bs = renc.assemble(*rh)
+        if m_bs is None:
+            m_bs, _ = self.compress_motion_symbols(np.asarray(m_sym_1))
+        if r_bs is None:
+            r_bs, _ = self.compress_residual_symbols(np.asarray(r_sym_1))
+        return m_bs, m_shape, r_bs, r_shape
 
     @functools.cached_property
     def _fused_decode_fn(self):
@@ -518,6 +563,7 @@ class CodecRuntime:
             "_fused_decode_fn",
             "_pack_meta",
             "_pack_fn",
+            "_device_encoders",
         ):
             self.__dict__.pop(attr, None)
 

@@ -98,11 +98,20 @@ def decode_video(
                 frames_out.append(arr)
         n_frames += 1
 
+    # Debug dumps force the serial path (reference decoder writes staged
+    # PNGs every debug_frame_interval_decode frames,
+    # codec_processing.py:1775-1926).
+    debug_dir = getattr(config, "debug_frames_dir_decode", None)
+    debug_every = int(getattr(config, "debug_frame_interval_decode", 0) or 0)
+    debug_on = bool(debug_dir) and debug_every > 0 and os.path.isdir(
+        os.path.dirname(os.path.abspath(debug_dir)) or "."
+    ) and getattr(config, "debug_dump_enabled", False)
+
     # GOP-parallel fast path: I-frame-delimited chains are independent when
     # the IIR filter is off (alpha couples consecutive GOPs through the
     # I-frame), so decode G of them as one batched recurrence.
     gop_batch = max(1, getattr(config, "decode_gop_batch", 1))
-    if gop_batch > 1 and config.temporal_filter_alpha == 0:
+    if gop_batch > 1 and config.temporal_filter_alpha == 0 and not debug_on:
         try:
             _decode_gop_batched(
                 config, runtime, reader, emit, timer, height, width,
@@ -155,6 +164,11 @@ def decode_video(
                         config.low_motion_replacement_threshold,
                         config.temporal_filter_alpha,
                         (height, width),
+                    )
+                if debug_on and rec.index % debug_every == 0:
+                    _dump_debug_frames(
+                        runtime, config, rec.index, ref_raw, q_m, q_r,
+                        (height, width), post,
                     )
                 # Overlap: write the previous frame while this one computes.
                 if pending_u8 is not None:
@@ -311,3 +325,52 @@ def _decode_gop_batched(
     if group:
         process_group(group)
     pool.shutdown()
+
+
+def _dump_debug_frames(
+    runtime: CodecRuntime,
+    config: CodecConfig,
+    index: int,
+    prev_raw,
+    q_m,
+    q_r,
+    target_hw,
+    post,
+) -> None:
+    """Staged debug PNGs for one P-frame (reference decoder's per-N-frames
+    dumps: prev-ref, flow, warped, MC prediction, residual, raw recon,
+    final post-processed — codec_processing.py:1775-1926)."""
+    import os
+
+    from PIL import Image
+
+    # q_m/q_r are int16 symbols; reconstruct_p_frame wants float latents.
+    q_m = np.asarray(q_m, np.float32) + runtime.motion_tables.medians[
+        None, None, None, :
+    ]
+    q_r = np.asarray(q_r, np.float32) + runtime.residual_tables.medians[
+        None, None, None, :
+    ]
+    out = runtime.reconstruct_p_frame(prev_raw, q_m, q_r, target_hw)
+    d = config.debug_frames_dir_decode
+    os.makedirs(d, exist_ok=True)
+
+    def save(name, arr, drange=False):
+        a = np.asarray(arr)[0]
+        if drange:
+            lo, hi = a.min(), a.max()
+            a = (a - lo) / max(hi - lo, 1e-6)
+        a = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+        if a.ndim == 2:
+            a = np.stack([a] * 3, -1)
+        Image.fromarray(a).save(os.path.join(d, f"frame_{index:05d}_{name}.png"))
+
+    save("1_prev_ref", prev_raw)
+    flow = out["flow"]
+    mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    save("2_flow_mag", mag, drange=True)
+    save("3_warped", out["warped"])
+    save("4_motion_compensated", out["motion_compensated"])
+    save("5_residual", out["residual"] * 0.5 + 0.5)
+    save("6_raw_recon", out["reconstructed"])
+    save("7_final_post", post)

@@ -136,6 +136,31 @@ def encode_video(
             for i in range(n_real)
         ]
 
+    def device_code_batch(n_real, m_sym, r_sym):
+        """io_pool worker, device-entropy-coding path: dispatch per-frame
+        rANS16 kernels on device, then download only the compressed words.
+        Any failure degrades to the symbol-download + host-coder path."""
+        try:
+            with timer.span("device_rans_dispatch"):
+                handles = [
+                    runtime.encode_frame_device_rans(
+                        m_sym[i : i + 1], r_sym[i : i + 1]
+                    )
+                    for i in range(n_real)
+                ]
+            results = []
+            with timer.span("payload_download"):
+                for h in handles:
+                    m_bs, m_shape, r_bs, r_shape = runtime.assemble_frame(h)
+                    fut = rans_pool.submit(
+                        lambda v=(m_bs, m_shape, r_bs, r_shape): v
+                    )
+                    results.append(fut)
+            return results
+        except Exception:
+            log.exception("device entropy coding failed; host fallback")
+            return download_only(n_real, m_sym, r_sym)
+
     def drain_pending():
         """Block until all in-flight batches are coded; write them in order."""
         nonlocal inflight
@@ -167,8 +192,13 @@ def encode_video(
             m_sym, r_sym = runtime.encode_pframes_batched(
                 prevs, curs, raft_hw, flow_hw, res_hw
             )
+        worker = (
+            device_code_batch
+            if getattr(config, "device_entropy_coding", False)
+            else download_only
+        )
         inflight.append(
-            (indices, io_pool.submit(download_only, len(indices), m_sym, r_sym))
+            (indices, io_pool.submit(worker, len(indices), m_sym, r_sym))
         )
 
     def flush_pending_single():

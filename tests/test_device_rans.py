@@ -1,0 +1,127 @@
+"""Device-side chunked rANS16 coder tests.
+
+Round-trips: JAX encode kernel -> Python reference decoder -> C++ parallel
+decoder; escape detection; payload-tag dispatch; bitstream size sanity
+against the estimated entropy.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rdvc_tpu.entropy import FactorizedEntropyBottleneck, build_cdf_tables
+from rdvc_tpu.entropy.device_rans import (
+    DeviceRansEncoder,
+    decode_chunked_py,
+    parse_chunked_header,
+    CHUNKED_TAG,
+)
+from rdvc_tpu.entropy.rans import native_available
+from rdvc_tpu.entropy.rans.coder import _channel_indexes, decode_chunked, decode_payload
+
+
+def _tables(channels=8, seed=0):
+    eb = FactorizedEntropyBottleneck(channels)
+    variables = eb.init(
+        {"params": jax.random.PRNGKey(seed), "noise": jax.random.PRNGKey(seed + 1)},
+        jnp.zeros((1, 4, 4, channels)),
+        train=True,
+    )
+    return build_cdf_tables(variables["params"])
+
+
+def _in_range_symbols(tables, shape, seed=0):
+    """Symbols guaranteed inside each channel's table support."""
+    rng = np.random.RandomState(seed)
+    h, w, c = shape
+    max_v = tables.cdf_length - 2
+    lo = tables.offset
+    sym = np.empty((1, h, w, c), np.int32)
+    for ch in range(c):
+        sym[..., ch] = rng.randint(lo[ch], lo[ch] + max_v[ch], (1, h, w))
+    return sym
+
+
+def test_device_encode_py_decode_roundtrip():
+    tables = _tables()
+    sym = _in_range_symbols(tables, (6, 10, 8), seed=1)
+    enc = DeviceRansEncoder(tables, num_streams=16)
+    payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
+    assert payload is not None and payload[0] == CHUNKED_TAG
+    idx = _channel_indexes((6, 10), 8)
+    out = decode_chunked_py(payload, idx, tables)
+    np.testing.assert_array_equal(out, sym.ravel())
+
+
+@pytest.mark.skipif(not native_available(), reason="C++ lib unavailable")
+def test_device_encode_cpp_decode_roundtrip():
+    tables = _tables(seed=2)
+    sym = _in_range_symbols(tables, (12, 20, 8), seed=3)
+    enc = DeviceRansEncoder(tables, num_streams=32)
+    payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
+    assert payload is not None
+    idx = _channel_indexes((12, 20), 8)
+    out = decode_chunked(payload, idx, tables, num_threads=4)
+    np.testing.assert_array_equal(out, sym.ravel())
+    # single-thread path must agree
+    out1 = decode_chunked(payload, idx, tables, num_threads=1)
+    np.testing.assert_array_equal(out1, sym.ravel())
+
+
+def test_escape_triggers_fallback():
+    tables = _tables(seed=4)
+    sym = _in_range_symbols(tables, (4, 4, 8), seed=5)
+    sym[0, 0, 0, 0] = 30000  # far outside support
+    enc = DeviceRansEncoder(tables, num_streams=8)
+    payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
+    assert payload is None
+
+
+def test_decode_payload_dispatch():
+    """decode_payload must handle both single-stream and chunked tags."""
+    from rdvc_tpu.entropy.rans import RansCodec
+
+    tables = _tables(seed=6)
+    sym = _in_range_symbols(tables, (5, 7, 8), seed=7)
+    idx = _channel_indexes((5, 7), 8)
+    codec = RansCodec(use_native=False)
+    single = bytes([0x01]) + codec.encode(sym.ravel(), idx, tables)
+    np.testing.assert_array_equal(
+        decode_payload(single, idx, tables, codec), sym.ravel()
+    )
+    enc = DeviceRansEncoder(tables, num_streams=8)
+    chunked = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
+    np.testing.assert_array_equal(
+        decode_payload(chunked, idx, tables, codec), sym.ravel()
+    )
+
+
+def test_chunked_size_tracks_entropy():
+    """Chunked payload should be within ~20% of the single-stream size."""
+    from rdvc_tpu.entropy.rans import RansCodec
+
+    tables = _tables(channels=16, seed=8)
+    rng = np.random.RandomState(8)
+    h, w, c = 16, 16, 16
+    max_v = tables.cdf_length - 2
+    lo = tables.offset
+    # concentrated near the median -> low entropy
+    sym = np.empty((1, h, w, c), np.int32)
+    for ch in range(c):
+        center = lo[ch] + max_v[ch] // 2
+        vals = np.clip(
+            rng.normal(center, 2.0, (1, h, w)).round(),
+            lo[ch], lo[ch] + max_v[ch] - 1,
+        )
+        sym[..., ch] = vals
+    idx = _channel_indexes((h, w), c)
+    single = RansCodec(use_native=False).encode(sym.ravel(), idx, tables)
+    enc = DeviceRansEncoder(tables, num_streams=64)
+    chunked = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
+    assert chunked is not None
+    # per-stream overhead: 4 bytes state + 4 bytes length each
+    overhead = 64 * 8 + 7
+    assert len(chunked) - overhead < len(single) * 1.2 + 64
+    header = parse_chunked_header(chunked)
+    assert header[0] == h * w * c and header[1] == 64

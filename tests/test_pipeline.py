@@ -198,3 +198,21 @@ def test_gop_batched_lone_trailing_iframe(tmp_path, runtime):
     config.decode_gop_batch = 4
     dec = decode_video(config, runtime=runtime, collect_frames=True)
     assert dec["frames"] == 9
+
+
+def test_decode_debug_dumps(tmp_path, runtime):
+    """Staged debug PNGs (reference decoder capability)."""
+    in_path, _ = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    encode_video(config, runtime=runtime)
+    config.debug_dump_enabled = True
+    config.debug_frame_interval_decode = 2
+    config.debug_frames_dir_decode = str(tmp_path / "dbg")
+    dec = decode_video(config, runtime=runtime)
+    assert dec["frames"] == 6
+    import glob
+
+    dumps = glob.glob(str(tmp_path / "dbg" / "*.png"))
+    assert len(dumps) >= 7  # at least one full staged set
+    names = {p.split("_", 2)[-1] for p in dumps}
+    assert any("final_post" in n for n in names)

@@ -147,3 +147,22 @@ def test_raft_grads_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
     assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_pallas_corr_matches_xla():
+    """Fused Pallas corr+pyramid kernel (interpret mode on CPU) vs the XLA
+    reference, including odd-dimension pooling levels."""
+    from rdvc_tpu.models.raft.pallas_corr import corr_pyramid_pallas
+
+    rng = np.random.RandomState(10)
+    for (h, w) in [(14, 18), (16, 16), (10, 22)]:
+        f1 = jnp.asarray(rng.randn(2, h, w, 64), jnp.float32)
+        f2 = jnp.asarray(rng.randn(2, h, w, 64), jnp.float32)
+        ref = build_corr_pyramid(f1, f2, 4)
+        got = corr_pyramid_pallas(f1, f2, interpret=True)
+        for lvl, (a, b) in enumerate(zip(ref, got)):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"{h}x{w} level {lvl}",
+            )
