@@ -69,7 +69,17 @@ def main():
         config.raft_backend = "raft"
         config.codec_checkpoint_path = os.path.join(td, "none")
 
-        runtime = CodecRuntime(model_cfg=config.model_config())
+        # Use the committed synthetic-data demo checkpoint when present:
+        # trained transforms emit low-entropy latents, putting the bitstream
+        # stages in the regime the reference's speed numbers were taken in.
+        demo_ckpt = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "checkpoints", "demo_synthetic.ckpt",
+        )
+        runtime = CodecRuntime(
+            model_cfg=config.model_config(),
+            checkpoint_path=demo_ckpt if os.path.exists(demo_ckpt) else None,
+        )
 
         # Calibrate the entropy bottlenecks to the actual latent statistics
         # (EB-only fit; transforms untouched). Without this, random-init

@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     p.add_argument("--flows", type=str, default=None, help="flow_base_dir")
     p.add_argument("--synthetic", action="store_true",
                    help="use the procedural dataset (smoke/no-data runs)")
+    p.add_argument("--synthetic_length", type=int, default=None,
+                   help="pairs in the synthetic dataset (default 4*batch)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--crop", type=int, default=None, help="square crop size")
@@ -37,6 +39,8 @@ def main(argv=None) -> int:
                    help="checkpoint path to resume from")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="number of devices for the data mesh (default: all)")
+    p.add_argument("--lambda_bpp", type=float, default=None,
+                   help="override both bpp loss weights (rate emphasis)")
     p.add_argument("--log_every", type=int, default=50)
     args = p.parse_args(argv)
 
@@ -62,6 +66,9 @@ def main(argv=None) -> int:
             setattr(cfg, name, val)
     if args.crop:
         cfg.crop_size = (args.crop, args.crop)
+    if args.lambda_bpp is not None:
+        cfg.lambda_bpp_motion = args.lambda_bpp
+        cfg.lambda_bpp_residual = args.lambda_bpp
 
     from rdvc_tpu.parallel import make_data_mesh
     from rdvc_tpu.train.data import SyntheticFlowPairDataset, VimeoFlowPairDataset
@@ -80,7 +87,8 @@ def main(argv=None) -> int:
 
     if args.synthetic:
         size = cfg.crop_size[0] if cfg.crop_size else 64
-        dataset = SyntheticFlowPairDataset(size=size, length=4 * cfg.batch_size)
+        length = args.synthetic_length or 4 * cfg.batch_size
+        dataset = SyntheticFlowPairDataset(size=size, length=length)
         cfg.real_bitstream_check_every = 0
     else:
         dataset = VimeoFlowPairDataset(

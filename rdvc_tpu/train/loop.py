@@ -365,7 +365,16 @@ class Trainer:
             for batch in batch_iterator(
                 dataset, cfg.batch_size, seed=cfg.seed + epoch
             ):
-                state, metrics = self.train_step(state, batch, phase)
+                try:
+                    state, metrics = self.train_step(state, batch, phase)
+                except Exception:
+                    # Skip-and-continue on per-batch failures (reference's
+                    # OOM/exception handling, new_train.py:1013-1030).
+                    log.exception(
+                        "batch failed at epoch %d step %d; skipping",
+                        epoch, state.step,
+                    )
+                    continue
                 for k, v in metrics.items():
                     agg[k] = agg.get(k, 0.0) + v
                 n += 1

@@ -24,9 +24,24 @@ def save_checkpoint(
     path: str,
     variables: Dict[str, Any],
     metadata: Optional[Dict[str, Any]] = None,
+    cast_dtype: Optional[np.dtype] = None,
 ) -> None:
-    """Write variables (params + batch_stats [+ opt_state...]) + metadata."""
+    """Write variables (params + batch_stats [+ opt_state...]) + metadata.
+
+    cast_dtype (e.g. np.float16) halves on-disk size; load_checkpoint casts
+    leaves back to the template's dtypes, so storage precision is
+    transparent to the caller."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    if cast_dtype is not None:
+        def cast(x):
+            a = np.asarray(x)
+            return a.astype(cast_dtype) if np.issubdtype(
+                a.dtype, np.floating
+            ) else a
+
+        import jax
+
+        variables = jax.tree_util.tree_map(cast, variables)
     payload = serialization.to_bytes(variables)
     meta = json.dumps(metadata or {}).encode("utf-8")
     tmp = path + ".tmp"
@@ -53,6 +68,18 @@ def load_checkpoint(path: str, template: Dict[str, Any]):
         metadata = json.loads(f.read(meta_len).decode("utf-8"))
         payload = f.read()
     variables = serialization.from_bytes(template, payload)
+    # Restore the template's dtypes (storage may be reduced precision).
+    import jax
+
+    variables = jax.tree_util.tree_map(
+        lambda stored, tmpl: np.asarray(stored).astype(
+            np.asarray(tmpl).dtype
+        )
+        if hasattr(tmpl, "dtype")
+        else stored,
+        variables,
+        template,
+    )
     return variables, metadata
 
 

@@ -136,3 +136,15 @@ def test_two_frame_roundtrip_smoke(tmp_path):
     assert np.isfinite(result["psnr_raw"])
     assert result["bytes_motion"] > 0 and result["bytes_residual"] > 0
     assert os.path.exists(tmp_path / "out" / "reconstructed.png")
+
+
+def test_flow_hsv_vis():
+    from rdvc_tpu.ops.flowvis import flow_to_hsv_rgb
+
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[:4, :, 0] = 3.0   # rightward
+    flow[4:, :, 1] = -3.0  # upward
+    rgb = flow_to_hsv_rgb(flow)
+    assert rgb.shape == (8, 8, 3) and rgb.dtype == np.uint8
+    # distinct directions get distinct hues
+    assert not np.array_equal(rgb[0, 0], rgb[7, 0])
