@@ -66,16 +66,22 @@ def main():
         config.iframe_interval = 32
         config.flow_compress_height = 1080
         config.residual_compress_height = 1080
+        # 33 frames = one full GOP + one lone I-frame: batch exactly 2 GOPs
+        # so no padded rows burn device time/downloads.
+        config.decode_gop_batch = 2
         config.raft_backend = "raft"
         config.codec_checkpoint_path = os.path.join(td, "none")
 
         # Use the committed synthetic-data demo checkpoint when present:
         # trained transforms emit low-entropy latents, putting the bitstream
         # stages in the regime the reference's speed numbers were taken in.
-        demo_ckpt = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "checkpoints", "demo_synthetic.ckpt",
+        ckpt_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "checkpoints"
         )
+        demo_ckpt = os.path.join(ckpt_dir, "demo_synthetic.ckpt")
+        raft_ckpt = os.path.join(ckpt_dir, "demo_raft.ckpt")
+        if os.path.exists(raft_ckpt):
+            config.raft_checkpoint_path = raft_ckpt
         runtime = CodecRuntime(
             model_cfg=config.model_config(),
             checkpoint_path=demo_ckpt if os.path.exists(demo_ckpt) else None,
@@ -88,7 +94,10 @@ def main():
         # ~1 bpp regime the reference's speed numbers were taken in.
         from rdvc_tpu.models.raft import RaftRunner
 
-        runner = RaftRunner(iters=config.raft_iters)
+        runner = RaftRunner(
+            iters=config.raft_iters,
+            checkpoint_path=config.raft_checkpoint_path,
+        )
         runtime.attach_raft(runner.model, runner.variables)
         frames_cal = synth_frames(3, h, w, seed=7)
         m_lat, r_lat = runtime._fused_encode_fn(
@@ -98,13 +107,19 @@ def main():
             (config.raft_resize_height, config.raft_resize_width),
             (1080, 1920), (1080, 1920),
         )
-        # _fused_encode_fn returns int16 symbols; recover float latents for
-        # calibration by re-running the analysis-only pieces is overkill —
-        # fit on the symbol values directly (they are latent - median).
+        # _fused_encode_fn returns int16 symbols (latent - median, rounded);
+        # add the CURRENT medians back so the density is fit on the true
+        # latent distribution. (Fitting on raw symbols silently shifts the
+        # model by the old medians — catastrophic when a trained checkpoint
+        # has non-zero quantiles: every symbol escapes to bypass coding.)
+        m_med = runtime.motion_tables.medians[None, None, None, :]
+        r_med = runtime.residual_tables.medians[None, None, None, :]
         runtime.calibrate_entropy_models(
             {
-                "motion": np.asarray(m_lat, np.float32)[:, ::4, ::4],
-                "residual": np.asarray(r_lat, np.float32)[:, ::4, ::4],
+                "motion": np.asarray(m_lat, np.float32)[:, ::4, ::4]
+                + m_med,
+                "residual": np.asarray(r_lat, np.float32)[:, ::4, ::4]
+                + r_med,
             }
         )
 

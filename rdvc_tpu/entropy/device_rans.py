@@ -46,6 +46,9 @@ def _pad_to_streams(n: int, num_streams: int) -> Tuple[int, int]:
     return per, per * num_streams
 
 
+_UNROLL = 8
+
+
 @functools.partial(jax.jit, static_argnames=("num_streams",))
 def _encode_kernel(
     symbols: jax.Array,      # (N,) int32
@@ -56,9 +59,17 @@ def _encode_kernel(
     num_streams: int,
 ):
     """Returns (words (L, S) uint16 emission-order dense grid,
-    flags (L, S) bool, states (S,) uint32, escape_count ())."""
+    flags (L, S) bool, states (S,) uint32, escape_count ()).
+
+    The scan body handles _UNROLL consecutive symbols per step: the per-
+    symbol work is tiny vector math, so scan-step latency dominates — an
+    8x unroll cuts the sequential step count 8x at identical total work.
+    """
     n = symbols.shape[0]
     L, padded = _pad_to_streams(n, num_streams)
+    # Round the per-stream length up to the unroll factor.
+    L = -(-L // _UNROLL) * _UNROLL
+    padded = L * num_streams
     S = num_streams
     # Stream s owns symbols [s*L, (s+1)*L); padding symbols are masked out.
     pad = padded - n
@@ -70,9 +81,8 @@ def _encode_kernel(
 
     max_v = cdf_length - 2  # escape symbol id per channel
 
-    def body(state, i):
-        # Process symbols in reverse order (rANS encodes backwards).
-        j = L - 1 - i
+    def one(state, j):
+        # Process symbol column j (reverse order handled by the caller).
         s_val = sym[:, j]
         c = idx[:, j]
         v = s_val - offsets[c]
@@ -91,12 +101,28 @@ def _encode_kernel(
         x_new = ((x // freq) << PROB_BITS) + (x % freq) + start
         state = jnp.where(is_valid, x_new, x)
         n_esc = jnp.sum(jnp.where(is_valid, esc, False).astype(jnp.int32))
-        return state, (word, emit, n_esc)
+        return state, word, emit, n_esc
+
+    def body(state, i):
+        words, emits, escs = [], [], []
+        for k in range(_UNROLL):
+            # Reversed symbol order: step i, slot k -> column L-1-(i*U+k).
+            j = L - 1 - (i * _UNROLL + k)
+            state, word, emit, n_esc = one(state, j)
+            words.append(word)
+            emits.append(emit)
+            escs.append(n_esc)
+        return state, (
+            jnp.stack(words), jnp.stack(emits), sum(escs)
+        )
 
     init = jnp.full((S,), RANS16_L, jnp.uint32)
     states, (words, flags, escs) = jax.lax.scan(
-        body, init, jnp.arange(L, dtype=jnp.int32)
+        body, init, jnp.arange(L // _UNROLL, dtype=jnp.int32)
     )
+    # (L/U, U, S) -> (L, S) in emission order
+    words = words.reshape(L, S)
+    flags = flags.reshape(L, S)
     return words, flags, states, jnp.sum(escs)
 
 
@@ -154,9 +180,13 @@ class DeviceRansEncoder:
             flat, idx, self._cdf, self._cdf_len, self._off, self.num_streams
         )
         compact, lengths, max_len = _compact_kernel(words, flags)
-        return compact, lengths, states, esc, flat.shape[0]
+        # words.shape[0] is the (unroll-padded) per-stream symbol count L;
+        # it goes into the header so decoders derive stream ownership.
+        return compact, lengths, states, esc, flat.shape[0], words.shape[0]
 
-    def assemble(self, compact, lengths, states, esc, n_symbols) -> Optional[bytes]:
+    def assemble(
+        self, compact, lengths, states, esc, n_symbols, stream_len
+    ) -> Optional[bytes]:
         """Host side: download the compacted grid (bucketed rows) and build
         the payload. Returns None if escapes were present."""
         if int(np.asarray(esc)) != 0:
@@ -172,7 +202,7 @@ class DeviceRansEncoder:
         )
         S = grid.shape[1]
         out = [
-            struct.pack("<BIH", CHUNKED_TAG, n_symbols, S),
+            struct.pack("<BIHI", CHUNKED_TAG, n_symbols, S, stream_len),
         ]
         stream_bytes: List[bytes] = []
         for s in range(S):
@@ -194,17 +224,17 @@ class DeviceRansEncoder:
 
 
 def parse_chunked_header(payload: bytes):
-    """-> (n_symbols, S, [(offset, length)])"""
-    tag, n_symbols, S = struct.unpack("<BIH", payload[:7])
+    """-> (n_symbols, S, stream_len, [(offset, length)])"""
+    tag, n_symbols, S, stream_len = struct.unpack("<BIHI", payload[:11])
     if tag != CHUNKED_TAG:
         raise ValueError(f"not a chunked payload (tag {tag})")
-    lens = np.frombuffer(payload[7 : 7 + 4 * S], "<u4")
-    off = 7 + 4 * S
+    lens = np.frombuffer(payload[11 : 11 + 4 * S], "<u4")
+    off = 11 + 4 * S
     spans = []
     for ln in lens:
         spans.append((off, int(ln)))
         off += int(ln)
-    return n_symbols, S, spans
+    return n_symbols, S, stream_len, spans
 
 
 def decode_chunked_py(
@@ -212,9 +242,8 @@ def decode_chunked_py(
 ) -> np.ndarray:
     """Pure-Python reference decoder for chunked rANS16 payloads (the
     executable spec for the C++ rdvc_rans16_decode)."""
-    n_symbols, S, spans = parse_chunked_header(payload)
+    n_symbols, S, L, spans = parse_chunked_header(payload)
     assert indexes.shape[0] == n_symbols
-    L = -(-n_symbols // S)
     out = np.zeros(n_symbols, np.int32)
     cdf = tables.quantized_cdf
     cdf_len = tables.cdf_length

@@ -264,19 +264,21 @@ int64_t rdvc_rans16_decode(const uint8_t* payload, int64_t payload_len,
                            const uint32_t* cdfs, int64_t cdf_stride,
                            const int32_t* cdf_lengths, const int32_t* offsets,
                            int32_t* out, int32_t num_threads) {
-  if (payload_len < 7 || payload[0] != 0x02) return -20;
+  if (payload_len < 11 || payload[0] != 0x02) return -20;
   uint32_t n = 0;
   std::memcpy(&n, payload + 1, 4);
   uint16_t S = 0;
   std::memcpy(&S, payload + 5, 2);
-  if (static_cast<int64_t>(n) != n_symbols || S == 0) return -21;
-  const int64_t L = (n_symbols + S - 1) / S;
-  int64_t off = 7 + 4ll * S;
+  uint32_t L32 = 0;
+  std::memcpy(&L32, payload + 7, 4);
+  if (static_cast<int64_t>(n) != n_symbols || S == 0 || L32 == 0) return -21;
+  const int64_t L = L32;  // per-stream symbol count (from the header)
+  int64_t off = 11 + 4ll * S;
   if (off > payload_len) return -22;
   std::vector<StreamSpan> spans(S);
   for (int s = 0; s < S; ++s) {
     uint32_t len = 0;
-    std::memcpy(&len, payload + 7 + 4ll * s, 4);
+    std::memcpy(&len, payload + 11 + 4ll * s, 4);
     if (off + len > payload_len || (len & 1)) return -23;
     spans[s].words = reinterpret_cast<const uint16_t*>(payload + off);
     spans[s].n_words = len / 2;
