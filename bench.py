@@ -66,9 +66,9 @@ def main():
         config.iframe_interval = 32
         config.flow_compress_height = 1080
         config.residual_compress_height = 1080
-        # 33 frames = one full GOP + one lone I-frame: batch exactly 2 GOPs
-        # so no padded rows burn device time/downloads.
-        config.decode_gop_batch = 2
+        # Match the GOP batch to the actual GOP count: padded batch rows
+        # burn device time and downloads for nothing.
+        config.decode_gop_batch = max(1, n_frames // config.iframe_interval)
         config.raft_backend = "raft"
         config.codec_checkpoint_path = os.path.join(td, "none")
 
@@ -137,6 +137,14 @@ def main():
         dec = decode_video(config, runtime=runtime)
         t2 = time.perf_counter()
 
+    def _stage_ms(summary):
+        return {
+            k: round(v["total_s"] * 1000.0, 1)
+            for k, v in sorted(
+                summary.items(), key=lambda kv: -kv[1]["total_s"]
+            )
+        }
+
     assert enc["frames"] == n_frames and dec["frames"] == n_frames
     combined_fps = n_frames / (t2 - t0)
     result = {
@@ -151,6 +159,8 @@ def main():
             "bpp": round(
                 enc["file_bytes"] * 8 / (n_frames * h * w), 4
             ),
+            "encode_stage_ms": _stage_ms(enc["timings"]),
+            "decode_stage_ms": _stage_ms(dec["timings"]),
         },
     }
     print(json.dumps(result))

@@ -80,6 +80,12 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
+    # Device selection (reference --gpu semantics,
+    # codec_processing.py:1189-1204): config.gpu None => CPU.
+    from rdvc_tpu.utils.runtime import select_device
+
+    dev = select_device(config.gpu)
+    logging.getLogger(__name__).info("using device: %s", dev)
     if args.mode == "encode":
         from rdvc_tpu.pipeline.encode import encode_video
 

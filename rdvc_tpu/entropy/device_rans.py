@@ -152,8 +152,35 @@ def _bucket(n: int) -> int:
     return n
 
 
+@functools.partial(jax.jit, static_argnames=("num_streams",))
+def _encode_batch_kernel(
+    symbols: jax.Array,      # (B, N) int32
+    indexes: jax.Array,      # (N,) int32 channel ids (same layout per frame)
+    cdf: jax.Array,
+    cdf_length: jax.Array,
+    offsets: jax.Array,
+    num_streams: int,
+):
+    """vmapped rANS16 encode over a batch of frames: one dispatch encodes
+    every frame's symbol tensor. Returns ((B,L,S) words, (B,L,S) flags,
+    (B,S) states, (B,) escape counts)."""
+    enc = jax.vmap(
+        lambda s: _encode_kernel(
+            s, indexes, cdf, cdf_length, offsets, num_streams
+        )
+    )
+    return enc(symbols)
+
+
+@jax.jit
+def _compact_batch_kernel(words: jax.Array, flags: jax.Array):
+    """(B, L, S) -> per-frame sort compaction in one dispatch."""
+    compact, lengths, _ = jax.vmap(_compact_kernel)(words, flags)
+    return compact, lengths, jnp.max(lengths)
+
+
 class DeviceRansEncoder:
-    """Encodes (1|B, h, w, C) latent symbol tensors on device into chunked
+    """Encodes (B, h, w, C) latent symbol tensors on device into chunked
     rANS16 payloads; falls back to None when escapes are present (caller
     should use the host coder)."""
 
@@ -165,62 +192,212 @@ class DeviceRansEncoder:
         self._off = jnp.asarray(tables.offset, jnp.int32)
 
     def encode_device(self, sym_dev: jax.Array):
-        """sym_dev: (h*w*C,) or (1,h,w,C) int device array of symbols
-        (round(y - median)). Returns device handles for async download:
-        (compact_words, lengths, states, escape_count, n_symbols)."""
-        if sym_dev.ndim == 4:
-            c = sym_dev.shape[-1]
-            flat = sym_dev.reshape(-1).astype(jnp.int32)
-            idx = jnp.tile(
-                jnp.arange(c, dtype=jnp.int32), flat.shape[0] // c
-            )
-        else:
+        """Single-frame convenience wrapper around encode_device_batch."""
+        if sym_dev.ndim != 4:
             raise ValueError("expected (1, h, w, C) symbols")
-        words, flags, states, esc = _encode_kernel(
+        return self.encode_device_batch(sym_dev)
+
+    def encode_device_batch(self, sym_dev: jax.Array):
+        """sym_dev: (B, h, w, C) int device array of symbols
+        (round(y - median)). TWO device dispatches for the whole batch.
+        Returns handles for assemble_batch:
+        (compact (B,L,S), lengths (B,S), states (B,S), esc (B,),
+        n_symbols_per_frame, stream_len L)."""
+        B, h, w, c = sym_dev.shape
+        flat = sym_dev.reshape(B, -1).astype(jnp.int32)
+        idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
+        words, flags, states, esc = _encode_batch_kernel(
             flat, idx, self._cdf, self._cdf_len, self._off, self.num_streams
         )
-        compact, lengths, max_len = _compact_kernel(words, flags)
-        # words.shape[0] is the (unroll-padded) per-stream symbol count L;
+        compact, lengths, _ = _compact_batch_kernel(words, flags)
+        # words.shape[1] is the (unroll-padded) per-stream symbol count L;
         # it goes into the header so decoders derive stream ownership.
-        return compact, lengths, states, esc, flat.shape[0], words.shape[0]
+        return compact, lengths, states, esc, flat.shape[1], words.shape[1]
 
-    def assemble(
+    def assemble(self, compact, lengths, states, esc, n_symbols, stream_len):
+        """Single-frame payload (see assemble_batch)."""
+        return self.assemble_batch(
+            compact, lengths, states, esc, n_symbols, stream_len
+        )[0]
+
+    def assemble_batch(
         self, compact, lengths, states, esc, n_symbols, stream_len
-    ) -> Optional[bytes]:
-        """Host side: download the compacted grid (bucketed rows) and build
-        the payload. Returns None if escapes were present."""
-        if int(np.asarray(esc)) != 0:
-            return None
-        lens = np.asarray(lengths)
-        states_np = np.asarray(states, np.uint32)
+    ) -> List[Optional[bytes]]:
+        """Host side: download the compacted grids (one bucketed slice for
+        the whole batch) and build per-frame payloads with vectorized numpy
+        (no per-stream Python loop). Frames with escapes yield None."""
+        esc_np = np.asarray(esc)
+        lens = np.asarray(lengths)          # (B, S)
+        states_np = np.asarray(states, np.uint32)  # (B, S)
+        B, S = lens.shape
+        L = compact.shape[1]
         max_len = int(lens.max()) if lens.size else 0
-        L = compact.shape[0]
         rows = min(_bucket(max_len), L)
         # Download only the valid prefix rows (bucketed: few compiled slices)
-        grid = np.asarray(compact[:rows]) if rows else np.zeros(
-            (0, compact.shape[1]), np.uint16
+        if rows:
+            grid = np.asarray(compact[:, :rows, :])  # (B, rows, S)
+        else:
+            grid = np.zeros((B, 0, S), np.uint16)
+
+        out: List[Optional[bytes]] = []
+        cols = np.arange(rows, dtype=np.int64)[None, :]  # (1, rows)
+        srange = np.arange(S)[:, None]
+        for b in range(B):
+            if int(esc_np[b]) != 0:
+                out.append(None)
+                continue
+            k = lens[b].astype(np.int64)  # (S,)
+            # Stream layout (decode order): state high word, state low word,
+            # emitted words reversed.
+            buf = np.zeros((S, rows + 2), np.uint16)
+            buf[:, 0] = (states_np[b] >> 16).astype(np.uint16)
+            buf[:, 1] = (states_np[b] & 0xFFFF).astype(np.uint16)
+            if rows:
+                src = k[:, None] - 1 - cols          # (S, rows) reversed idx
+                valid = src >= 0
+                gathered = grid[b].T[srange, np.clip(src, 0, rows - 1)]
+                buf[:, 2:] = np.where(valid, gathered, 0)
+            mask = np.arange(rows + 2)[None, :] < (k + 2)[:, None]
+            flat_words = buf[mask]  # row-major => concatenated streams
+            byte_lens = (2 * (k + 2)).astype("<u4")
+            payload = b"".join(
+                (
+                    struct.pack("<BIHI", CHUNKED_TAG, n_symbols, S, stream_len),
+                    byte_lens.tobytes(),
+                    flat_words.astype("<u2").tobytes(),
+                )
+            )
+            out.append(payload)
+        return out
+
+
+_DEC_UNROLL = 8
+
+
+@functools.partial(jax.jit, static_argnames=("L", "C", "n_symbols"))
+def _decode_batch_kernel(
+    grids: jax.Array,     # (B, Wmax, S) uint16 word grids (decode order)
+    lut: jax.Array,       # (C * 65536,) int32: cum -> symbol index
+    cdf_flat: jax.Array,  # (C * Lc,) uint32 flattened CDF rows
+    row_stride: int,
+    offsets: jax.Array,   # (C,) int32
+    L: int,
+    C: int,
+    n_symbols: int,
+):
+    """Batched chunked-rANS16 decode on device.
+
+    Mirrors decode_chunked_py exactly: per stream, L sequential symbol
+    steps; each step reads the symbol via a dense 2^16-entry LUT (one
+    gather instead of a binary search), updates the state, and conditionally
+    consumes the next word. All B payloads x S streams advance in lockstep
+    on the VPU. Returns (B, n_symbols) int32 symbols (offsets applied).
+    """
+    Bb, Wmax, S = grids.shape
+    flat = grids.reshape(Bb, Wmax * S)
+
+    state = (grids[:, 0, :].astype(jnp.uint32) << 16) | grids[
+        :, 1, :
+    ].astype(jnp.uint32)                       # (B, S)
+    pos = jnp.full((Bb, S), 2, jnp.int32)
+    # Channel of stream s at step t: (s*L + t) % C.
+    c0 = (jnp.arange(S, dtype=jnp.int32) * L) % C
+
+    def one(carry, t):
+        state, pos = carry
+        c = (c0 + t) % C                       # (S,)
+        cum = (state & 0xFFFF).astype(jnp.int32)
+        sidx = lut[c[None, :] * 65536 + cum]   # (B, S) gather
+        base = c * row_stride
+        start = cdf_flat[base[None, :] + sidx]
+        freq = cdf_flat[base[None, :] + sidx + 1] - start
+        state = freq * (state >> 16) + cum.astype(jnp.uint32) - start
+        need = state < RANS16_L
+        word = jnp.take_along_axis(
+            flat, pos * S + jnp.arange(S, dtype=jnp.int32)[None, :], axis=1
+        ).astype(jnp.uint32)
+        state = jnp.where(need, (state << 16) | word, state)
+        pos = pos + need.astype(jnp.int32)
+        sym = sidx + offsets[c][None, :]
+        return (state, pos), sym.astype(jnp.int32)
+
+    def body(carry, i):
+        syms = []
+        for k in range(_DEC_UNROLL):
+            carry, sym = one(carry, i * _DEC_UNROLL + k)
+            syms.append(sym)
+        return carry, jnp.stack(syms)          # (U, B, S)
+
+    n_steps = L // _DEC_UNROLL
+    (_, _), out = jax.lax.scan(
+        body, (state, pos), jnp.arange(n_steps, dtype=jnp.int32)
+    )                                           # (n_steps, U, B, S)
+    # (steps*U, B, S) -> (B, S, L): stream s owns symbols [s*L, (s+1)*L).
+    out = out.reshape(L, Bb, S).transpose(1, 2, 0).reshape(Bb, S * L)
+    return out[:, :n_symbols]
+
+
+class DeviceRansDecoder:
+    """Decodes chunked rANS16 payloads ON DEVICE: the host uploads only the
+    compressed word grids (~bpp/8 bytes per pixel) and the symbols never
+    leave the device. All payloads of a batch decode in one kernel."""
+
+    def __init__(self, tables: CdfTables):
+        self.tables = tables
+        cdf = tables.quantized_cdf
+        C, Lc = cdf.shape
+        self._row_stride = Lc
+        self._cdf_flat = jnp.asarray(cdf.reshape(-1), jnp.uint32)
+        self._off = jnp.asarray(tables.offset, jnp.int32)
+        self._C = C
+        # Dense cum -> symbol-index LUT (uint16 rows would save HBM but the
+        # gather output is int32 anyway).
+        lut = np.empty((C, 65536), np.int32)
+        cum = np.arange(65536)
+        for c in range(C):
+            cl = int(tables.cdf_length[c])
+            row = cdf[c, :cl]
+            lut[c] = np.minimum(
+                np.searchsorted(row, cum, side="right") - 1, cl - 2
+            )
+        self._lut = jnp.asarray(lut.reshape(-1))
+
+    def prepare_grids(self, payloads: List[bytes]):
+        """Parse + pack chunked payloads into one (B, Wmax, S) uint16 grid
+        (host side; cheap). All payloads must share S and L (same tensor
+        shape — true within a pipeline run). Returns (grid, n_symbols, L)."""
+        metas = [parse_chunked_header(p) for p in payloads]
+        n_symbols, S, L = metas[0][0], metas[0][1], metas[0][2]
+        for m in metas:
+            if (m[0], m[1], m[2]) != (n_symbols, S, L):
+                raise ValueError("inconsistent chunked payload shapes")
+        max_words = max(max(ln for _, ln in m[3]) // 2 for m in metas)
+        rows = _bucket(max_words)
+        B = len(payloads)
+        grid = np.zeros((B, rows, S), np.uint16)
+        col = np.arange(rows, dtype=np.int64)[None, :]
+        for b, (payload, m) in enumerate(zip(payloads, metas)):
+            spans = m[3]
+            first = spans[0][0]
+            # Streams are stored back to back: one frombuffer + a masked
+            # scatter fills the whole grid (no per-stream Python loop).
+            words = np.frombuffer(
+                payload, "<u2", offset=first,
+                count=(spans[-1][0] + spans[-1][1] - first) // 2,
+            )
+            wl = np.asarray([ln // 2 for _, ln in spans], np.int64)  # (S,)
+            buf = np.zeros((S, rows), np.uint16)
+            buf[col < wl[:, None]] = words
+            grid[b] = buf.T
+        return grid, n_symbols, L
+
+    def decode_device(self, payloads: List[bytes]) -> jax.Array:
+        """[chunked payloads] -> (B, n_symbols) int32 device symbols."""
+        grid, n_symbols, L = self.prepare_grids(payloads)
+        return _decode_batch_kernel(
+            jnp.asarray(grid), self._lut, self._cdf_flat, self._row_stride,
+            self._off, L, self._C, n_symbols,
         )
-        S = grid.shape[1]
-        out = [
-            struct.pack("<BIHI", CHUNKED_TAG, n_symbols, S, stream_len),
-        ]
-        stream_bytes: List[bytes] = []
-        for s in range(S):
-            k = int(lens[s])
-            st = int(states_np[s])
-            # Decode order: state high word, state low word, then emitted
-            # words reversed.
-            words = np.empty(k + 2, np.uint16)
-            words[0] = (st >> 16) & 0xFFFF
-            words[1] = st & 0xFFFF
-            if k:
-                words[2:] = grid[:k, s][::-1]
-            stream_bytes.append(words.astype("<u2").tobytes())
-        out.append(
-            np.asarray([len(b) for b in stream_bytes], "<u4").tobytes()
-        )
-        out.extend(stream_bytes)
-        return b"".join(out)
 
 
 def parse_chunked_header(payload: bytes):

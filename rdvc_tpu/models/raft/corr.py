@@ -63,34 +63,25 @@ def build_corr_pyramid(
     return pyramid
 
 
-def _bilinear_sample_volume(
-    vol: jax.Array, xs: jax.Array, ys: jax.Array
+def _axis_weights(
+    centers: jax.Array, radius: int, size: int
 ) -> jax.Array:
-    """vol: (N, H2, W2, 1); xs/ys: (N, P) sample coords (pixel space).
-    Returns (N, P) bilinear samples with zero padding outside."""
-    N, H2, W2, _ = vol.shape
-    v = vol[..., 0]  # (N, H2, W2)
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    wx = xs - x0
-    wy = ys - y0
+    """Bilinear sampling weights along one axis, as a dense matrix.
 
-    def tap(yi, xi):
-        inside = (xi >= 0) & (xi <= W2 - 1) & (yi >= 0) & (yi <= H2 - 1)
-        xi_c = jnp.clip(xi, 0, W2 - 1).astype(jnp.int32)
-        yi_c = jnp.clip(yi, 0, H2 - 1).astype(jnp.int32)
-        flat = v.reshape(N, H2 * W2)
-        idx = yi_c * W2 + xi_c
-        vals = jnp.take_along_axis(flat, idx, axis=1)
-        return jnp.where(inside, vals, 0.0)
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    centers: (N,) center coordinate per row. Sample positions are
+    centers + {-r..r}; returns (N, 2r+1, size) weights such that
+    W @ values == bilinear samples with zero padding outside [0, size-1].
+    """
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    pos = centers[:, None] + d[None, :]            # (N, K)
+    p0 = jnp.floor(pos)
+    frac = pos - p0                                # shared fractional part
+    grid = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    w0 = (1.0 - frac)[..., None] * (grid == p0[..., None])
+    w1 = frac[..., None] * (grid == (p0[..., None] + 1.0))
+    # Out-of-range taps contribute 0 automatically: the equality against the
+    # in-range grid never fires for p0 outside [0, size-1].
+    return w0 + w1                                 # (N, K, size)
 
 
 def corr_lookup(
@@ -99,6 +90,12 @@ def corr_lookup(
     radius: int = 4,
 ) -> jax.Array:
     """Sample an r-neighborhood at every pyramid level.
+
+    TPU formulation: all (2r+1)^2 sample points at a level share one
+    fractional offset (the integer displacement grid), so the bilinear
+    lookup is SEPARABLE: samples = Ry @ vol @ Cx^T with small dense weight
+    matrices. Two batched matmuls per level on the MXU — no per-element
+    gathers (TPU gathers serialize; this was the RAFT hot-path bottleneck).
 
     Args:
       pyramid: list of (B*H*W, H_l, W_l, 1) volumes (level 0 first).
@@ -109,19 +106,21 @@ def corr_lookup(
     """
     B, H, W, _ = coords.shape
     N = B * H * W
-    P = (2 * radius + 1) ** 2
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")
-    dx = dx.reshape(1, P)
-    dy = dy.reshape(1, P)
-    cx = coords[..., 0].reshape(N, 1).astype(jnp.float32)
-    cy = coords[..., 1].reshape(N, 1).astype(jnp.float32)
+    K = 2 * radius + 1
+    cx = coords[..., 0].reshape(N).astype(jnp.float32)
+    cy = coords[..., 1].reshape(N).astype(jnp.float32)
 
     out = []
     for lvl, vol in enumerate(pyramid):
         scale = 1.0 / (2 ** lvl)
-        xs = cx * scale + dx
-        ys = cy * scale + dy
-        out.append(_bilinear_sample_volume(vol, xs, ys))  # (N, P)
-    feats = jnp.concatenate(out, axis=1)  # (N, L*P)
+        _, H2, W2, _ = vol.shape
+        ry = _axis_weights(cy * scale, radius, H2)   # (N, K, H2)
+        cxw = _axis_weights(cx * scale, radius, W2)  # (N, K, W2)
+        v = vol[..., 0]                              # (N, H2, W2)
+        rows = jnp.einsum(
+            "nkh,nhw->nkw", ry, v.astype(jnp.float32)
+        )                                            # (N, K, W2)
+        patch = jnp.einsum("nkw,nqw->nkq", rows, cxw)  # (N, K, K) [y, x]
+        out.append(patch.reshape(N, K * K))
+    feats = jnp.concatenate(out, axis=1)  # (N, L*K*K)
     return feats.reshape(B, H, W, -1)

@@ -104,6 +104,24 @@ class RAFT(nn.Module):
         return final
 
 
+def load_torchvision_raft_checkpoint(path: str) -> dict:
+    """Load a torchvision raft_large .pth/.pt checkpoint from disk and
+    convert it to flax variables (host-side; requires torch)."""
+    import torch
+
+    from rdvc_tpu.models.raft.convert import convert_torchvision_raft
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    sd = {
+        k.removeprefix("module.").removeprefix("_orig_mod."): v.numpy()
+        for k, v in sd.items()
+        if hasattr(v, "numpy")
+    }
+    variables = convert_torchvision_raft(sd)
+    return jax.tree_util.tree_map(jnp.asarray, variables)
+
+
 class RaftRunner:
     """Host-facing wrapper: owns variables, jits the forward per shape."""
 
@@ -121,7 +139,11 @@ class RaftRunner:
             variables = self.model.init(
                 jax.random.PRNGKey(seed), dummy, dummy
             )
-            if checkpoint_path:
+            if checkpoint_path and checkpoint_path.endswith((".pth", ".pt", ".tar")):
+                # torchvision raft_large checkpoint (the reference's Sintel
+                # weights, codec_processing.py:1244-1308): convert on host.
+                variables = load_torchvision_raft_checkpoint(checkpoint_path)
+            elif checkpoint_path:
                 from rdvc_tpu.utils.checkpoint import load_checkpoint
 
                 variables, _ = load_checkpoint(checkpoint_path, variables)

@@ -328,31 +328,80 @@ class CodecRuntime:
             DeviceRansEncoder(self.residual_tables),
         )
 
+    @functools.cached_property
+    def _device_decoders(self):
+        from rdvc_tpu.entropy.device_rans import DeviceRansDecoder
+
+        return (
+            DeviceRansDecoder(self.motion_tables),
+            DeviceRansDecoder(self.residual_tables),
+        )
+
+    def decode_payloads_device(self, payloads, which: str, shape_hw):
+        """Chunked (tag 0x02) payloads -> (B, h, w, C) int16 symbols ON
+        DEVICE: the host uploads only compressed words, never raw symbols
+        (the upload pipe runs at tens of MB/s — raw symbols are ~100x the
+        bytes). Raises ValueError on non-chunked payloads; callers fall back
+        to the host coder + symbol upload for those."""
+        from rdvc_tpu.entropy.device_rans import CHUNKED_TAG
+
+        if any(not p or p[0] != CHUNKED_TAG for p in payloads):
+            raise ValueError("non-chunked payload; host decode required")
+        if which == "motion":
+            dec, tables = self._device_decoders[0], self.motion_tables
+        else:
+            dec, tables = self._device_decoders[1], self.residual_tables
+        c = tables.medians.shape[0]
+        h, w = int(shape_hw[0]), int(shape_hw[1])
+        sym = dec.decode_device(list(payloads))  # (B, h*w*c) int32
+        return sym.reshape(len(payloads), h, w, c).astype(jnp.int16)
+
     def encode_frame_device_rans(self, m_sym_1, r_sym_1):
         """Dispatch device entropy coding for ONE frame's symbol tensors
         (1, h, w, C). Returns opaque async handles for assemble_frame()."""
+        return self.encode_frames_device_rans(m_sym_1, r_sym_1)
+
+    def encode_frames_device_rans(self, m_sym, r_sym):
+        """Dispatch device entropy coding for a BATCH of frames' symbol
+        tensors (B, h, w, C): four device dispatches total regardless of B.
+        Returns opaque async handles for assemble_frames()."""
         menc, renc = self._device_encoders
         return (
-            menc.encode_device(m_sym_1),
-            renc.encode_device(r_sym_1),
-            m_sym_1,
-            r_sym_1,
+            menc.encode_device_batch(m_sym),
+            renc.encode_device_batch(r_sym),
+            m_sym,
+            r_sym,
         )
 
     def assemble_frame(self, handles) -> Tuple[bytes, Tuple[int, int], bytes, Tuple[int, int]]:
-        """Host side of the device-coded frame: download compact words and
-        build tagged payloads; per-side host fallback when escapes exist."""
-        mh, rh, m_sym_1, r_sym_1 = handles
+        """Host side of one device-coded frame (see assemble_frames)."""
+        return self.assemble_frames(handles)[0]
+
+    def assemble_frames(self, handles, n_real: Optional[int] = None):
+        """Host side of the device-coded batch: download compact word grids
+        (one bucketed transfer per payload kind) and build tagged payloads;
+        per-frame host fallback when escapes exist. Returns
+        [(m_bs, m_shape, r_bs, r_shape)] for the first n_real frames."""
+        mh, rh, m_sym, r_sym = handles
         menc, renc = self._device_encoders
-        m_shape = (m_sym_1.shape[1], m_sym_1.shape[2])
-        r_shape = (r_sym_1.shape[1], r_sym_1.shape[2])
-        m_bs = menc.assemble(*mh)
-        r_bs = renc.assemble(*rh)
-        if m_bs is None:
-            m_bs, _ = self.compress_motion_symbols(np.asarray(m_sym_1))
-        if r_bs is None:
-            r_bs, _ = self.compress_residual_symbols(np.asarray(r_sym_1))
-        return m_bs, m_shape, r_bs, r_shape
+        m_shape = (m_sym.shape[1], m_sym.shape[2])
+        r_shape = (r_sym.shape[1], r_sym.shape[2])
+        m_list = menc.assemble_batch(*mh)
+        r_list = renc.assemble_batch(*rh)
+        n = len(m_list) if n_real is None else min(n_real, len(m_list))
+        out = []
+        for i in range(n):
+            m_bs, r_bs = m_list[i], r_list[i]
+            if m_bs is None:
+                m_bs, _ = self.compress_motion_symbols(
+                    np.asarray(m_sym[i : i + 1])
+                )
+            if r_bs is None:
+                r_bs, _ = self.compress_residual_symbols(
+                    np.asarray(r_sym[i : i + 1])
+                )
+            out.append((m_bs, m_shape, r_bs, r_shape))
+        return out
 
     @functools.cached_property
     def _fused_decode_fn(self):
@@ -564,6 +613,7 @@ class CodecRuntime:
             "_pack_meta",
             "_pack_fn",
             "_device_encoders",
+            "_device_decoders",
         ):
             self.__dict__.pop(attr, None)
 

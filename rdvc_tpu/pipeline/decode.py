@@ -128,8 +128,25 @@ def decode_video(
             if own_sink and sink is not None:
                 sink.close()
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=max(1, config.rans_threads))
+
+    def _rans_one(payload: bytes):
+        m_shape, m_bs, r_shape, r_bs = unpack_pframe_payload(payload)
+        return (
+            runtime.decompress_motion_symbols(m_bs, m_shape),
+            runtime.decompress_residual_symbols(r_bs, r_shape),
+        )
+
+    emit_kind = "i420" if use_i420 else "rgb"
     try:
-        for rec in reader.frames():
+        # Read all records up front (payload bytes are small) so symbol
+        # production for upcoming frames overlaps the device recurrence.
+        with timer.span("container_read"):
+            records = list(reader.frames())
+        rans_futs = _prefetch_symbols(runtime, records, pool, timer)
+        for i, rec in enumerate(records):
             if rec.frame_type == "I":
                 with timer.span("iframe_decode"):
                     _, img_bytes = unpack_iframe_payload(rec.payload)
@@ -141,19 +158,21 @@ def decode_video(
                 if prev_post is not None and float(iir_alpha) > 0:
                     post = temporal_iir_filter(post, prev_post, iir_alpha)
                 if pending_u8 is not None:
-                    emit(pending_u8)
-                pending_u8 = jnp.clip(
-                    post[0] * 255.0 + 0.5, 0, 255
-                ).astype(jnp.uint8)
+                    emit(pending_u8, emit_kind)
+                nxt = (
+                    runtime.to_i420(post)[0]
+                    if use_i420
+                    else jnp.clip(post[0] * 255.0 + 0.5, 0, 255).astype(
+                        jnp.uint8
+                    )
+                )
+                pending_u8 = nxt
             else:
                 if ref_raw is None:
                     log.warning("P-frame %d before any I-frame; skipped", rec.index)
                     continue
-                with timer.span("payload_unpack"):
-                    m_shape, m_bs, r_shape, r_bs = unpack_pframe_payload(rec.payload)
                 with timer.span("rans_decode"):
-                    q_m = runtime.decompress_motion_symbols(m_bs, m_shape)
-                    q_r = runtime.decompress_residual_symbols(r_bs, r_shape)
+                    q_m, q_r = rans_futs.pop(i).result()
                 # One fused dispatch: reconstruct + LMR + hist-match + IIR
                 # + uint8 conversion (post-processing stays on device).
                 with timer.span("decode_dispatch"):
@@ -165,6 +184,7 @@ def decode_video(
                         config.temporal_filter_alpha,
                         (height, width),
                     )
+                    frame_dev = runtime.to_i420(post)[0] if use_i420 else u8[0]
                 if debug_on and rec.index % debug_every == 0:
                     _dump_debug_frames(
                         runtime, config, rec.index, ref_raw, q_m, q_r,
@@ -172,13 +192,14 @@ def decode_video(
                     )
                 # Overlap: write the previous frame while this one computes.
                 if pending_u8 is not None:
-                    emit(pending_u8)
-                pending_u8 = u8[0]
+                    emit(pending_u8, emit_kind)
+                pending_u8 = frame_dev
                 ref_raw = raw  # codec reference stays RAW
             prev_post = post
         if pending_u8 is not None:
-            emit(pending_u8)
+            emit(pending_u8, emit_kind)
     finally:
+        pool.shutdown(wait=False, cancel_futures=True)
         reader.close()
         if own_sink and sink is not None:
             sink.close()
@@ -189,6 +210,120 @@ def decode_video(
         "decoded_frames": frames_out,
         "timings": timer.summary(),
     }
+
+
+class _Ready:
+    """Future-compatible wrapper for already-available (device) symbols."""
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
+
+
+_DEVICE_DECODE_GROUP = 16
+
+
+def _prefetch_symbols(runtime, records, pool, timer):
+    """Produce {record_index: future-like -> (q_m, q_r)} for all P-frames.
+
+    Fast path: chunked (device-coded) payloads are entropy-decoded ON the
+    device in groups — the host uploads only compressed words and the
+    symbols never cross the link. Host-coded payloads (tag 0x01, the escape
+    fallback) decode on the host thread pool and upload raw symbols.
+    """
+    p_items = []  # (key, m_shape, m_bs, r_shape, r_bs)
+    for i, rec in enumerate(records):
+        if rec.frame_type == "P":
+            p_items.append((i,) + unpack_pframe_payload(rec.payload))
+    return _prefetch_items(runtime, p_items, pool, timer)
+
+
+def _prefetch_items(runtime, p_items, pool, timer):
+    """{key: future-like} symbol prefetcher over (key, m_shape, m_bs,
+    r_shape, r_bs) items (see _prefetch_symbols)."""
+    # Split into consecutive same-shape groups of bounded size.
+    groups = []
+    cur = []
+    prev_shapes = None
+    for it in p_items:
+        shapes = (it[1], it[3])
+        if cur and (
+            shapes != prev_shapes or len(cur) >= _DEVICE_DECODE_GROUP
+        ):
+            groups.append(cur)
+            cur = []
+        cur.append(it)
+        prev_shapes = shapes
+    if cur:
+        groups.append(cur)
+
+    class _Group:
+        """Lazily device-decoded symbol group: dispatched on first touch
+        (plus one-group lookahead from the caller), freed when every row
+        has been consumed — bounds HBM to ~2 groups for long sequences."""
+
+        def __init__(self, items):
+            self.items = items
+            self.stacks = None
+            self.host_futs = None
+            self.consumed = set()
+
+        def dispatch(self):
+            if self.stacks is not None or self.host_futs is not None:
+                return
+            items = self.items
+            try:
+                with timer.span("device_rans_decode_dispatch"):
+                    m_stack = runtime.decode_payloads_device(
+                        [it[2] for it in items], "motion", items[0][1]
+                    )
+                    r_stack = runtime.decode_payloads_device(
+                        [it[4] for it in items], "residual", items[0][3]
+                    )
+                self.stacks = (m_stack, r_stack)
+            except Exception:
+                log.debug("device entropy decode unavailable; host fallback")
+                self.host_futs = [
+                    pool.submit(
+                        lambda mb=it[2], ms=it[1], rb=it[4], rs=it[3]: (
+                            runtime.decompress_motion_symbols(mb, ms),
+                            runtime.decompress_residual_symbols(rb, rs),
+                        )
+                    )
+                    for it in items
+                ]
+
+        def row(self, k):
+            self.dispatch()
+            if self.stacks is not None:
+                m_stack, r_stack = self.stacks
+                out = (m_stack[k : k + 1], r_stack[k : k + 1])
+            else:
+                out = self.host_futs[k].result()
+            self.consumed.add(k)
+            if len(self.consumed) >= len(self.items):
+                self.stacks = None
+                self.host_futs = None
+            return out
+
+    class _Ref:
+        def __init__(self, gi, k):
+            self.gi = gi
+            self.k = k
+
+        def result(self):
+            if self.gi + 1 < len(group_objs):  # lookahead: overlap next
+                group_objs[self.gi + 1].dispatch()
+            return group_objs[self.gi].row(self.k)
+
+    group_objs = [_Group(g) for g in groups]
+    futs = {}
+    for gi, g in enumerate(groups):
+        for k, it in enumerate(g):
+            futs[it[0]] = _Ref(gi, k)
+    return futs
 
 
 def _decode_gop_batched(
@@ -224,23 +359,30 @@ def _decode_gop_batched(
         with timer.span("iframe_decode"):
             irgb = np.stack([decode_jpeg(g["ibytes"]) for g in group])
 
-        with timer.span("rans_decode"):
-            tasks = []
+        # Time-major symbol prefetch: step t's payloads across all GOP rows
+        # form one device entropy-decode batch; groups resolve lazily with
+        # one-group lookahead, so symbol production for step t+1 overlaps
+        # the device recurrence at step t.
+        max_len_all = max((len(g["p"]) for g in group), default=0)
+        p_items = []
+        for t in range(max_len_all):
             for gi, g in enumerate(group):
-                for t, payload in enumerate(g["p"]):
-                    tasks.append((gi, t) + payload)
+                if t < len(g["p"]):
+                    p_items.append(((gi, t),) + g["p"][t])
+        futs = _prefetch_items(runtime, p_items, pool, timer)
 
-            def dec_one(task):
-                gi, t, m_shape, m_bs, r_shape, r_bs = task
-                return (
-                    gi, t,
-                    runtime.decompress_motion_symbols(m_bs, m_shape),
-                    runtime.decompress_residual_symbols(r_bs, r_shape),
-                )
+        class _Syms:
+            def __getitem__(self, key):
+                with timer.span("rans_decode"):
+                    return futs[key].result()
 
-            syms = {}
-            for gi, t, qm, qr in pool.map(dec_one, tasks):
-                syms[(gi, t)] = (qm, qr)
+            def first(self):
+                with timer.span("rans_decode"):
+                    return (
+                        next(iter(futs.values())).result() if futs else None
+                    )
+
+        syms = _Syms()
 
         state_raw = jnp.asarray(irgb.astype(np.float32) / 255.0)
         prev_post = state_raw
@@ -253,8 +395,8 @@ def _decode_gop_batched(
             ]
         else:
             out_frames = [[("rgb", irgb[i])] for i in range(B)]
-        max_len = max(len(g["p"]) for g in group)
-        fallback = next(iter(syms.values())) if syms else None
+        max_len = max_len_all
+        fallback = syms.first()
         kind = "i420" if use_i420 else "rgb"
         pending_dl = None  # (active_rows, async device frame array)
 
@@ -269,25 +411,28 @@ def _decode_gop_batched(
             for gi in act:
                 out_frames[gi].append((kind, arr[gi]))
 
+        last_rows = [None] * len(group)  # most recent (qm, qr) per GOP row
         for t in range(max_len):
             qm_rows, qr_rows, active = [], [], []
             for gi, g in enumerate(group):
                 if t < len(g["p"]):
                     active.append(gi)
                     qm, qr = syms[(gi, t)]
-                elif g["p"]:
-                    qm, qr = syms[(gi, len(g["p"]) - 1)]
+                    last_rows[gi] = (qm, qr)
+                elif last_rows[gi] is not None:
+                    # Finished GOP: repeat its last row (output discarded).
+                    qm, qr = last_rows[gi]
                 else:
                     # GOP with no P-frames (lone I-frame): dummy row,
                     # output discarded.
                     qm, qr = fallback
-                qm_rows.append(qm[0])
-                qr_rows.append(qr[0])
+                qm_rows.append(qm)
+                qr_rows.append(qr)
             with timer.span("decode_dispatch"):
                 raw, post, u8 = runtime.decode_pframe_fused(
                     state_raw,
-                    np.stack(qm_rows),
-                    np.stack(qr_rows),
+                    jnp.concatenate([jnp.asarray(r) for r in qm_rows], 0),
+                    jnp.concatenate([jnp.asarray(r) for r in qr_rows], 0),
                     prev_post,
                     iframe,
                     config.low_motion_replacement_threshold,

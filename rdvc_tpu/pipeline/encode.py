@@ -137,26 +137,16 @@ def encode_video(
         ]
 
     def device_code_batch(n_real, m_sym, r_sym):
-        """io_pool worker, device-entropy-coding path: dispatch per-frame
-        rANS16 kernels on device, then download only the compressed words.
-        Any failure degrades to the symbol-download + host-coder path."""
+        """io_pool worker, device-entropy-coding path: rANS16-encode the
+        whole batch on device (four dispatches total), then download only
+        the compressed word grids. Any failure degrades to the
+        symbol-download + host-coder path."""
         try:
             with timer.span("device_rans_dispatch"):
-                handles = [
-                    runtime.encode_frame_device_rans(
-                        m_sym[i : i + 1], r_sym[i : i + 1]
-                    )
-                    for i in range(n_real)
-                ]
-            results = []
+                handles = runtime.encode_frames_device_rans(m_sym, r_sym)
             with timer.span("payload_download"):
-                for h in handles:
-                    m_bs, m_shape, r_bs, r_shape = runtime.assemble_frame(h)
-                    fut = rans_pool.submit(
-                        lambda v=(m_bs, m_shape, r_bs, r_shape): v
-                    )
-                    results.append(fut)
-            return results
+                results = runtime.assemble_frames(handles, n_real)
+            return [rans_pool.submit(lambda v=v: v) for v in results]
         except Exception:
             log.exception("device entropy coding failed; host fallback")
             return download_only(n_real, m_sym, r_sym)

@@ -64,15 +64,46 @@ def _histogram_256(q: jax.Array) -> jax.Array:
 
 
 def _match_channel(src: jax.Array, tmpl: jax.Array) -> jax.Array:
-    """Match one flattened uint8-domain channel to a template's histogram."""
+    """Match one flattened uint8-domain channel to a template's histogram.
+
+    Exact skimage semantics (_match_cumulative_cdf): the template's
+    piecewise-linear quantile function is built over PRESENT values only
+    (zero-count bins are omitted from the knot list,
+    skimage/exposure/histogram_matching.py); queries below the first knot
+    clamp to the first present value. Interpolating over the dense 0..255
+    grid instead (zero-count bins repeated) is wrong for sparse histograms:
+    it maps quantiles between two present values onto the empty levels
+    between them.
+    """
     src_q = jnp.clip(jnp.round(src), 0, 255).astype(jnp.int32)
     tmpl_q = jnp.clip(jnp.round(tmpl), 0, 255).astype(jnp.int32)
-    n = src_q.shape[0]
-    src_cdf = jnp.cumsum(_histogram_256(src_q)) / n
-    tmpl_cdf = jnp.cumsum(_histogram_256(tmpl_q)) / tmpl_q.shape[0]
-    levels = jnp.arange(_BINS, dtype=jnp.float32)
-    # value v -> quantile src_cdf[v] -> template value at that quantile
-    lut = jnp.interp(src_cdf, tmpl_cdf, levels)
+    tmpl_hist = _histogram_256(tmpl_q)
+    src_cdf = jnp.cumsum(_histogram_256(src_q)) / src_q.shape[0]  # (256,)
+    tmpl_cdf = jnp.cumsum(tmpl_hist) / tmpl_q.shape[0]            # (256,)
+    present = tmpl_hist > 0
+    w = jnp.arange(_BINS, dtype=jnp.int32)
+
+    # For each query quantile q_v = src_cdf[v]: bracket it between the
+    # previous knot a (largest present w with tmpl_cdf[w] < q) and the next
+    # knot b (smallest present w with tmpl_cdf[w] >= q). 256x256 masks are
+    # trivial VPU work.
+    q = src_cdf[:, None]                 # (256, 1) queries
+    kq = tmpl_cdf[None, :]               # (1, 256) knot quantiles
+    pm = present[None, :]
+    b = jnp.min(jnp.where(pm & (kq >= q), w[None, :], _BINS), axis=1)
+    a = jnp.max(jnp.where(pm & (kq < q), w[None, :], -1), axis=1)
+    last = jnp.max(jnp.where(present, w, -1))
+    b = jnp.minimum(b, last)             # float-rounding guard: q > last knot
+
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    qa = tmpl_cdf[jnp.maximum(a, 0)]
+    qb = tmpl_cdf[b]
+    t = (src_cdf - qa) / jnp.maximum(qb - qa, 1e-20)
+    interp = af + t * (bf - af)
+    # a < 0: query at/below the first knot -> clamp to first present value
+    # (np.interp left clamp); a >= b only via the rounding guard -> b.
+    lut = jnp.where((a < 0) | (a >= b), bf, interp)
     return lut[src_q]
 
 

@@ -23,3 +23,24 @@ def enable_persistent_cache(path: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     _enabled = True
+
+
+def select_device(gpu):
+    """Map the reference's --gpu flag onto jax device selection
+    (reference codec_processing.py:1189-1204: -1 -> CPU, N -> cuda:N).
+
+    None or a negative id pins computation to the host CPU; a non-negative
+    id picks the N-th accelerator (clamped, falling back to whatever
+    devices exist). Returns the selected device after setting it as jax's
+    default.
+    """
+    import jax
+
+    if gpu is None or int(gpu) < 0:
+        dev = jax.local_devices(backend="cpu")[0]
+    else:
+        accel = [d for d in jax.devices() if d.platform != "cpu"]
+        pool = accel or jax.devices()
+        dev = pool[min(int(gpu), len(pool) - 1)]
+    jax.config.update("jax_default_device", dev)
+    return dev

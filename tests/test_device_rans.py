@@ -55,6 +55,7 @@ def test_device_encode_py_decode_roundtrip():
 
 
 @pytest.mark.skipif(not native_available(), reason="C++ lib unavailable")
+@pytest.mark.slow
 def test_device_encode_cpp_decode_roundtrip():
     tables = _tables(seed=2)
     sym = _in_range_symbols(tables, (12, 20, 8), seed=3)
@@ -97,6 +98,7 @@ def test_decode_payload_dispatch():
     )
 
 
+@pytest.mark.slow
 def test_chunked_size_tracks_entropy():
     """Chunked payload should be within ~20% of the single-stream size."""
     from rdvc_tpu.entropy.rans import RansCodec
@@ -125,3 +127,64 @@ def test_chunked_size_tracks_entropy():
     assert len(chunked) - overhead < len(single) * 1.2 + 64
     header = parse_chunked_header(chunked)
     assert header[0] == h * w * c and header[1] == 64
+
+
+def test_device_decoder_roundtrip_batch():
+    """Device encode -> DEVICE decode kernel round trip, batched."""
+    from rdvc_tpu.entropy.device_rans import DeviceRansDecoder
+
+    tables = _tables(seed=9)
+    enc = DeviceRansEncoder(tables, num_streams=16)
+    payloads, syms = [], []
+    for s in range(3):
+        sym = _in_range_symbols(tables, (6, 10, 8), seed=20 + s)
+        payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
+        assert payload is not None
+        payloads.append(payload)
+        syms.append(sym)
+    dec = DeviceRansDecoder(tables)
+    out = np.asarray(dec.decode_device(payloads))  # (3, n)
+    for s in range(3):
+        np.testing.assert_array_equal(out[s], syms[s].ravel())
+
+
+def test_device_decoder_matches_python_spec():
+    from rdvc_tpu.entropy.device_rans import DeviceRansDecoder
+
+    tables = _tables(channels=5, seed=11)
+    enc = DeviceRansEncoder(tables, num_streams=8)
+    sym = _in_range_symbols(tables, (9, 7, 5), seed=12)
+    payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
+    assert payload is not None
+    idx = _channel_indexes((9, 7), 5)
+    want = decode_chunked_py(payload, idx, tables)
+    got = np.asarray(DeviceRansDecoder(tables).decode_device([payload]))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_runtime_decode_payloads_device():
+    """CodecRuntime.decode_payloads_device: chunked -> device symbols;
+    host-coded payloads raise (caller falls back)."""
+    import pytest as _pytest
+
+    from rdvc_tpu.config import ModelConfig
+    from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+
+    rt = CodecRuntime(model_cfg=ModelConfig())
+    rng = np.random.RandomState(0)
+    h, w = 8, 8
+    c = rt.motion_tables.medians.shape[0]
+    sym = np.zeros((2, h, w, c), np.int16)
+    for ch in range(c):
+        lo = rt.motion_tables.offset[ch]
+        hi = lo + rt.motion_tables.cdf_length[ch] - 2
+        sym[..., ch] = rng.randint(lo, max(lo + 1, hi), (2, h, w))
+    menc = rt._device_encoders[0]
+    payloads = menc.assemble_batch(*menc.encode_device_batch(jnp.asarray(sym)))
+    assert all(p is not None for p in payloads)
+    out = np.asarray(
+        rt.decode_payloads_device(payloads, "motion", (h, w))
+    )
+    np.testing.assert_array_equal(out, sym)
+    with _pytest.raises(ValueError):
+        rt.decode_payloads_device([b"\x01junk"], "motion", (h, w))

@@ -70,6 +70,7 @@ def test_compression_resolution():
     assert compression_resolution(135, 1920, 1080) == (136, 240)
 
 
+@pytest.mark.slow
 def test_encode_decode_roundtrip(tmp_path, runtime):
     in_path, frames = _make_video(tmp_path)
     config = _small_config(tmp_path, in_path)
@@ -91,6 +92,7 @@ def test_encode_decode_roundtrip(tmp_path, runtime):
         assert err < 15, f"I-frame {i} err {err}"
 
 
+@pytest.mark.slow
 def test_decode_deterministic(tmp_path, runtime):
     in_path, _ = _make_video(tmp_path)
     config = _small_config(tmp_path, in_path)
@@ -101,6 +103,7 @@ def test_decode_deterministic(tmp_path, runtime):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_latents_bitexact_through_rans(tmp_path, runtime):
     """The decoder's dequantized latents must exactly equal what the encoder
     would get by quantizing its own latents (bitstream transparency)."""
@@ -112,6 +115,7 @@ def test_latents_bitexact_through_rans(tmp_path, runtime):
     np.testing.assert_array_equal(back, expected)
 
 
+@pytest.mark.slow
 def test_encode_with_farneback(tmp_path, runtime):
     pytest.importorskip("cv2")
     in_path, _ = _make_video(tmp_path)
@@ -123,6 +127,7 @@ def test_encode_with_farneback(tmp_path, runtime):
     assert dec["frames"] == 6
 
 
+@pytest.mark.slow
 def test_cli_encode_decode(tmp_path, runtime, monkeypatch):
     """CLI surface parity: --mode encode|decode."""
     from rdvc_tpu import cli
@@ -155,6 +160,7 @@ def test_cli_encode_decode(tmp_path, runtime, monkeypatch):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_encode_decode_fused_raft(tmp_path, runtime):
     """Fused single-dispatch encode (JAX RAFT) + fused decode round trip."""
     in_path, _ = _make_video(tmp_path)
@@ -174,6 +180,7 @@ def test_encode_decode_fused_raft(tmp_path, runtime):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_gop_batched_matches_serial(tmp_path, runtime):
     """Batched-GOP decode must produce identical frames to the serial path."""
     in_path, _ = _make_video(tmp_path, n=10)
@@ -190,6 +197,7 @@ def test_gop_batched_matches_serial(tmp_path, runtime):
         np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
 
 
+@pytest.mark.slow
 def test_gop_batched_lone_trailing_iframe(tmp_path, runtime):
     """A video ending exactly on an I-frame (zero-P GOP) must decode."""
     in_path, _ = _make_video(tmp_path, n=9)  # iframe_interval=4: I@0,4,8; GOP3 = lone I
@@ -200,6 +208,7 @@ def test_gop_batched_lone_trailing_iframe(tmp_path, runtime):
     assert dec["frames"] == 9
 
 
+@pytest.mark.slow
 def test_decode_debug_dumps(tmp_path, runtime):
     """Staged debug PNGs (reference decoder capability)."""
     in_path, _ = _make_video(tmp_path)
@@ -216,3 +225,27 @@ def test_decode_debug_dumps(tmp_path, runtime):
     assert len(dumps) >= 7  # at least one full staged set
     names = {p.split("_", 2)[-1] for p in dumps}
     assert any("final_post" in n for n in names)
+
+
+def test_select_device_gpu_flag():
+    """--gpu semantics (reference codec_processing.py:1189-1204): negative
+    or None pins to host CPU; N picks the N-th device (clamped)."""
+    import jax
+
+    from rdvc_tpu.utils.runtime import select_device
+
+    dev = select_device(-1)
+    assert dev.platform == "cpu"
+    assert jax.config.jax_default_device == dev
+
+    dev0 = select_device(0)
+    assert dev0 == [d for d in jax.devices() if d.platform != "cpu"][0] if any(
+        d.platform != "cpu" for d in jax.devices()
+    ) else jax.devices()[0]
+
+    # Out-of-range index clamps instead of crashing.
+    dev_hi = select_device(10_000)
+    assert dev_hi in jax.devices()
+    # Restore the CPU default for the rest of the suite.
+    select_device(None)
+    assert jax.config.jax_default_device.platform == "cpu"

@@ -124,6 +124,7 @@ def test_raft_return_all(raft_small):
     np.testing.assert_allclose(np.asarray(final), np.asarray(ups[-1]))
 
 
+@pytest.mark.slow
 def test_raft_grads_flow():
     """Supervised EPE loss must differentiate through the whole recurrence."""
     model = RAFT(iters=2)
@@ -168,6 +169,7 @@ def test_pallas_corr_matches_xla():
             )
 
 
+@pytest.mark.slow
 def test_raft_trainer_reduces_epe():
     """Supervised sequence-EPE training must reduce EPE on a fixed batch."""
     from rdvc_tpu.train.data import SyntheticFlowPairDataset, batch_iterator
@@ -186,6 +188,7 @@ def test_raft_trainer_reduces_epe():
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+@pytest.mark.slow
 def test_raft_trainer_checkpoint(tmp_path):
     from rdvc_tpu.train.data import SyntheticFlowPairDataset, batch_iterator
     from rdvc_tpu.train.raft_train import RaftTrainer

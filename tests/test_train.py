@@ -111,6 +111,7 @@ def trainer():
     return Trainer(cfg=cfg, model_cfg=ModelConfig())
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(trainer):
     ds = SyntheticFlowPairDataset(size=32, length=8, seed=0)
     state = trainer.init_state(spatial=(32, 32))
@@ -123,6 +124,7 @@ def test_train_step_reduces_loss(trainer):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_phase2_step_runs(trainer):
     ds = SyntheticFlowPairDataset(size=32, length=4, seed=1)
     state = trainer.init_state(spatial=(32, 32))
@@ -131,6 +133,7 @@ def test_phase2_step_runs(trainer):
     assert np.isfinite(metrics["loss"]) and metrics["psnr"] > 0
 
 
+@pytest.mark.slow
 def test_phase3_msssim_step(trainer):
     ds = SyntheticFlowPairDataset(size=32, length=4, seed=2)
     state = trainer.init_state(spatial=(32, 32))
@@ -141,6 +144,7 @@ def test_phase3_msssim_step(trainer):
     assert 0.0 <= metrics["msssim"] <= 1.0
 
 
+@pytest.mark.slow
 def test_optimizer_reconfigures_across_phases(trainer):
     state = trainer.init_state(spatial=(32, 32))
     mode1 = state.optimizer_mode
@@ -150,6 +154,7 @@ def test_optimizer_reconfigures_across_phases(trainer):
     assert "phase3" in state.optimizer_mode
 
 
+@pytest.mark.slow
 def test_frozen_params_stay_frozen():
     cfg = TrainConfig(
         batch_size=2, crop_size=(32, 32), freeze_mcn_phase1=True
@@ -171,6 +176,7 @@ def test_frozen_params_stay_frozen():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore(tmp_path, trainer):
     ds = SyntheticFlowPairDataset(size=32, length=4, seed=4)
     state = trainer.init_state(spatial=(32, 32))
@@ -186,6 +192,7 @@ def test_checkpoint_save_restore(tmp_path, trainer):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_data_parallel_mesh_step():
     """DP over the 8-device virtual CPU mesh: per-device batch shards,
     replicated params, loss matches the single-device step."""
@@ -203,6 +210,7 @@ def test_data_parallel_mesh_step():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_real_bitstream_check(trainer):
     ds = SyntheticFlowPairDataset(size=32, length=2, seed=6)
     state = trainer.init_state(spatial=(32, 32))
@@ -211,6 +219,7 @@ def test_real_bitstream_check(trainer):
     assert sizes["motion_kb"] > 0 and sizes["residual_kb"] > 0
 
 
+@pytest.mark.slow
 def test_checkpoint_includes_optimizer_state(tmp_path, trainer):
     from rdvc_tpu.train.data import SyntheticFlowPairDataset, batch_iterator
 
@@ -233,6 +242,7 @@ def test_checkpoint_includes_optimizer_state(tmp_path, trainer):
     assert matched > 0
 
 
+@pytest.mark.slow
 def test_epoch_visualization(tmp_path, trainer):
     from rdvc_tpu.train.data import SyntheticFlowPairDataset, batch_iterator
     from rdvc_tpu.train.visualize import visualize_epoch
