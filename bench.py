@@ -43,8 +43,14 @@ def synth_frames(n, h, w, seed=0):
 
 
 def main():
-    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "64"))
     h, w = 1080, 1920
+
+    # Absorb the axon relay's first device->host readback handshake
+    # (60-300 s, once per process) before anything is timed.
+    import jax
+
+    np.asarray(jax.device_put(np.zeros(8, np.uint8)))
 
     from rdvc_tpu.config import CodecConfig
     from rdvc_tpu.io.yuv import write_yuv420p_frames

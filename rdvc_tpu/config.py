@@ -87,6 +87,9 @@ class CodecConfig:
     # Decode GOPs (I-frame-delimited independent chains) in parallel batches;
     # requires temporal_filter_alpha == 0 (the IIR filter couples GOPs).
     decode_gop_batch: int = 4
+    # Shard the GOP batch rows over the first N devices (a 1-D `gop` mesh;
+    # SURVEY §2.11 GOP-parallelism). 1 = single device.
+    decode_gop_devices: int = 1
 
     # Decoder specific
     input_rdvc_file: str = "./compressed_video.rdvc"

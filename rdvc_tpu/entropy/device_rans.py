@@ -142,7 +142,20 @@ def _compact_kernel(words: jax.Array, flags: jax.Array):
     return compact, lengths, jnp.max(lengths)
 
 
-_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+def _geometric_buckets(lo: int = 64, hi: int = 1 << 28):
+    """Slice-size buckets: powers of two plus 1.5x intermediates, capping
+    download padding waste at ~33% while keeping the number of compiled
+    slice shapes logarithmic."""
+    out = []
+    b = lo
+    while b < hi:
+        out.append(b)
+        out.append(b + b // 2)
+        b <<= 1
+    return tuple(out)
+
+
+_BUCKETS = _geometric_buckets()
 
 
 def _bucket(n: int) -> int:
@@ -179,6 +192,37 @@ def _compact_batch_kernel(words: jax.Array, flags: jax.Array):
     return compact, lengths, jnp.max(lengths)
 
 
+def _flatten_kernel(words: jax.Array, flags: jax.Array):
+    """(L, S) emission-order grid -> exact stream-major payload order.
+
+    One global lax.sort whose key encodes (stream, reversed emission rank):
+    flagged words land at the front in exactly the order the payload needs
+    (stream s's words, last emitted first), unflagged slots sink to the
+    end. The host then downloads only the valid prefix — the download is
+    payload-sized instead of (padded stream length x S)-sized.
+    """
+    L, S = words.shape
+    ranks = jnp.cumsum(flags.astype(jnp.int32), axis=0) - 1  # (L, S)
+    k = jnp.sum(flags.astype(jnp.int32), axis=0)             # (S,)
+    stream = jax.lax.broadcasted_iota(jnp.uint32, (L, S), 1)
+    rev = (k[None, :] - 1 - ranks).astype(jnp.uint32)
+    key = jnp.where(
+        flags, stream * jnp.uint32(L) + rev, jnp.uint32(0xFFFFFFFF)
+    )
+    _, flat = jax.lax.sort(
+        (key.reshape(-1), words.reshape(-1)), dimension=0, num_keys=1
+    )
+    return flat, k
+
+
+@jax.jit
+def _flatten_batch_kernel(words: jax.Array, flags: jax.Array):
+    """(B, L, S) -> ((B, L*S) stream-major words, (B, S) lengths,
+    (B,) totals) in one dispatch."""
+    flat, k = jax.vmap(_flatten_kernel)(words, flags)
+    return flat, k, jnp.sum(k, axis=1)
+
+
 class DeviceRansEncoder:
     """Encodes (B, h, w, C) latent symbol tensors on device into chunked
     rANS16 payloads; falls back to None when escapes are present (caller
@@ -201,70 +245,76 @@ class DeviceRansEncoder:
         """sym_dev: (B, h, w, C) int device array of symbols
         (round(y - median)). TWO device dispatches for the whole batch.
         Returns handles for assemble_batch:
-        (compact (B,L,S), lengths (B,S), states (B,S), esc (B,),
-        n_symbols_per_frame, stream_len L)."""
+        (flat_words (B, L*S) stream-major, lengths (B,S), totals (B,),
+        states (B,S), esc (B,), n_symbols_per_frame, stream_len L)."""
         B, h, w, c = sym_dev.shape
         flat = sym_dev.reshape(B, -1).astype(jnp.int32)
         idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
         words, flags, states, esc = _encode_batch_kernel(
             flat, idx, self._cdf, self._cdf_len, self._off, self.num_streams
         )
-        compact, lengths, _ = _compact_batch_kernel(words, flags)
+        flat_words, lengths, totals = _flatten_batch_kernel(words, flags)
         # words.shape[1] is the (unroll-padded) per-stream symbol count L;
         # it goes into the header so decoders derive stream ownership.
-        return compact, lengths, states, esc, flat.shape[1], words.shape[1]
+        return (
+            flat_words, lengths, totals, states, esc,
+            flat.shape[1], words.shape[1],
+        )
 
-    def assemble(self, compact, lengths, states, esc, n_symbols, stream_len):
+    def assemble(
+        self, flat_words, lengths, totals, states, esc, n_symbols, stream_len
+    ):
         """Single-frame payload (see assemble_batch)."""
         return self.assemble_batch(
-            compact, lengths, states, esc, n_symbols, stream_len
+            flat_words, lengths, totals, states, esc, n_symbols, stream_len
         )[0]
 
     def assemble_batch(
-        self, compact, lengths, states, esc, n_symbols, stream_len
+        self, flat_words, lengths, totals, states, esc, n_symbols, stream_len
     ) -> List[Optional[bytes]]:
-        """Host side: download the compacted grids (one bucketed slice for
-        the whole batch) and build per-frame payloads with vectorized numpy
-        (no per-stream Python loop). Frames with escapes yield None."""
+        """Host side: download the exact stream-major word prefix (one
+        bucketed slice for the whole batch — payload-sized, not padded-grid
+        -sized) and splice in the per-stream state words with vectorized
+        numpy. Frames with escapes yield None."""
         esc_np = np.asarray(esc)
-        lens = np.asarray(lengths)          # (B, S)
-        states_np = np.asarray(states, np.uint32)  # (B, S)
+        lens = np.asarray(lengths)                  # (B, S)
+        totals_np = np.asarray(totals)              # (B,)
+        states_np = np.asarray(states, np.uint32)   # (B, S)
         B, S = lens.shape
-        L = compact.shape[1]
-        max_len = int(lens.max()) if lens.size else 0
-        rows = min(_bucket(max_len), L)
-        # Download only the valid prefix rows (bucketed: few compiled slices)
-        if rows:
-            grid = np.asarray(compact[:, :rows, :])  # (B, rows, S)
+        cap = flat_words.shape[1]
+        max_total = int(totals_np.max()) if totals_np.size else 0
+        cols = min(_bucket(max_total), cap)
+        if cols:
+            words_np = np.asarray(flat_words[:, :cols])  # (B, cols)
         else:
-            grid = np.zeros((B, 0, S), np.uint16)
+            words_np = np.zeros((B, 0), np.uint16)
 
         out: List[Optional[bytes]] = []
-        cols = np.arange(rows, dtype=np.int64)[None, :]  # (1, rows)
-        srange = np.arange(S)[:, None]
         for b in range(B):
             if int(esc_np[b]) != 0:
                 out.append(None)
                 continue
-            k = lens[b].astype(np.int64)  # (S,)
-            # Stream layout (decode order): state high word, state low word,
-            # emitted words reversed.
-            buf = np.zeros((S, rows + 2), np.uint16)
-            buf[:, 0] = (states_np[b] >> 16).astype(np.uint16)
-            buf[:, 1] = (states_np[b] & 0xFFFF).astype(np.uint16)
-            if rows:
-                src = k[:, None] - 1 - cols          # (S, rows) reversed idx
-                valid = src >= 0
-                gathered = grid[b].T[srange, np.clip(src, 0, rows - 1)]
-                buf[:, 2:] = np.where(valid, gathered, 0)
-            mask = np.arange(rows + 2)[None, :] < (k + 2)[:, None]
-            flat_words = buf[mask]  # row-major => concatenated streams
+            k = lens[b].astype(np.int64)            # (S,)
+            total = int(totals_np[b])
+            # Payload word layout per stream: [state_hi, state_lo,
+            # reversed emitted words]; streams back to back. Data word i of
+            # the stream-major flat buffer belongs to stream sid[i] and
+            # lands 2*(sid[i]+1) slots later once states are spliced in.
+            buf = np.zeros(total + 2 * S, np.uint16)
+            sid = np.repeat(np.arange(S, dtype=np.int64), k)
+            prefix = np.concatenate(([0], np.cumsum(k)[:-1]))
+            state_pos = prefix + 2 * np.arange(S, dtype=np.int64)
+            buf[state_pos] = (states_np[b] >> 16).astype(np.uint16)
+            buf[state_pos + 1] = (states_np[b] & 0xFFFF).astype(np.uint16)
+            buf[np.arange(total, dtype=np.int64) + 2 * (sid + 1)] = (
+                words_np[b, :total]
+            )
             byte_lens = (2 * (k + 2)).astype("<u4")
             payload = b"".join(
                 (
                     struct.pack("<BIHI", CHUNKED_TAG, n_symbols, S, stream_len),
                     byte_lens.tobytes(),
-                    flat_words.astype("<u2").tobytes(),
+                    buf.astype("<u2").tobytes(),
                 )
             )
             out.append(payload)

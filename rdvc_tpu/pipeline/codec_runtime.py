@@ -51,13 +51,19 @@ class CodecRuntime:
             "batch_stats": variables.get("batch_stats", {}),
         }
         # The update(force=True) equivalent: bake CDF tables once at load
-        # (reference codec_processing.py:869-886).
-        params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        # (reference codec_processing.py:869-886). Download ONLY the EB
+        # subtrees (a few KB) — the first device->host readback through the
+        # axon relay pays a long handshake, and the full param tree is tens
+        # of MB it never needs on host.
         self.motion_tables: CdfTables = build_cdf_tables(
-            params["motion_entropy_bottleneck"]
+            jax.tree_util.tree_map(
+                np.asarray, variables["params"]["motion_entropy_bottleneck"]
+            )
         )
         self.residual_tables: CdfTables = build_cdf_tables(
-            params["residual_entropy_bottleneck"]
+            jax.tree_util.tree_map(
+                np.asarray, variables["params"]["residual_entropy_bottleneck"]
+            )
         )
         self.rans = RansCodec()
         self._apply = self.model.apply
@@ -130,36 +136,47 @@ class CodecRuntime:
             variables, raft_variables, prev_u8, cur_u8,
             raft_hw, comp_hw_flow, comp_hw_res,
         ):
-            prev = prev_u8.astype(jnp.float32) / 255.0
-            cur = cur_u8.astype(jnp.float32) / 255.0
-            H, W = prev.shape[1:3]
-            p_small = resize_bilinear(prev, raft_hw)
-            c_small = resize_bilinear(cur, raft_hw)
-            flow_small = self._raft_model.apply(
-                raft_variables, p_small, c_small, train=False
+            return self._encode_body(
+                variables, raft_variables, prev_u8, cur_u8,
+                raft_hw, comp_hw_flow, comp_hw_res,
             )
-            flow_orig = resize_flow(flow_small, (H, W))
-            warped = bilinear_warp(prev, flow_orig)
-            pred = self._mc(variables, warped, flow_orig, prev)
-            residual = cur - pred
-            residual_c = resize_bilinear(residual, comp_hw_res, antialias=True)
-            flow_c = resize_flow(flow_orig, comp_hw_flow)
-            m_lat = self._apply(
-                variables, flow_c, method=VideoCodec.analyze_motion
-            )
-            r_lat = self._apply(
-                variables, residual_c, method=VideoCodec.analyze_residual
-            )
-            # Quantize to int16 symbols on device: halves the device->host
-            # transfer (the dominant encode cost over a slow link) and moves
-            # the rounding onto the VPU.
-            m_med = jnp.asarray(self.motion_tables.medians)
-            r_med = jnp.asarray(self.residual_tables.medians)
-            m_sym = jnp.round(m_lat - m_med).astype(jnp.int16)
-            r_sym = jnp.round(r_lat - r_med).astype(jnp.int16)
-            return m_sym, r_sym
 
         return fn
+
+    def _encode_body(
+        self, variables, raft_variables, prev_u8, cur_u8,
+        raft_hw, comp_hw_flow, comp_hw_res,
+    ):
+        """Traced fused P-frame encode: RAFT flow + warp + MCN + residual +
+        analysis transforms + symbol quantization, one dispatch."""
+        prev = prev_u8.astype(jnp.float32) / 255.0
+        cur = cur_u8.astype(jnp.float32) / 255.0
+        H, W = prev.shape[1:3]
+        p_small = resize_bilinear(prev, raft_hw)
+        c_small = resize_bilinear(cur, raft_hw)
+        flow_small = self._raft_model.apply(
+            raft_variables, p_small, c_small, train=False
+        )
+        flow_orig = resize_flow(flow_small, (H, W))
+        warped = bilinear_warp(prev, flow_orig)
+        pred = self._mc(variables, warped, flow_orig, prev)
+        residual = cur - pred
+        residual_c = resize_bilinear(residual, comp_hw_res, antialias=True)
+        flow_c = resize_flow(flow_orig, comp_hw_flow)
+        m_lat = self._apply(
+            variables, flow_c, method=VideoCodec.analyze_motion
+        )
+        r_lat = self._apply(
+            variables, residual_c, method=VideoCodec.analyze_residual
+        )
+        # Quantize to int16 symbols on device: halves the device->host
+        # transfer (the dominant encode cost over a slow link) and moves
+        # the rounding onto the VPU.
+        m_med = jnp.asarray(self.motion_tables.medians)
+        r_med = jnp.asarray(self.residual_tables.medians)
+        m_sym = jnp.round(m_lat - m_med).astype(jnp.int16)
+        r_sym = jnp.round(r_lat - r_med).astype(jnp.int16)
+        return m_sym, r_sym
 
     def encode_pframe_fused(
         self,
@@ -200,6 +217,43 @@ class CodecRuntime:
         return self._fused_encode_fn(
             self.variables, self._raft_variables,
             jnp.asarray(prev_u8), jnp.asarray(cur_u8),
+            tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+        )
+
+    @functools.cached_property
+    def _fused_encode_chain_fn(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("raft_hw", "comp_hw_flow", "comp_hw_res"),
+        )
+        def fn(
+            variables, raft_variables, chain_u8,
+            raft_hw, comp_hw_flow, comp_hw_res,
+        ):
+            # (B+1, H, W, 3) frame chain -> (prev, cur) pairs by slicing on
+            # device: consecutive P-frames share their boundary frame, so
+            # the host uploads each frame ONCE instead of twice.
+            return self._encode_body(
+                variables, raft_variables, chain_u8[:-1], chain_u8[1:],
+                raft_hw, comp_hw_flow, comp_hw_res,
+            )
+
+        return fn
+
+    def encode_pframes_chain(
+        self,
+        chain_u8,
+        raft_hw: Tuple[int, int],
+        comp_hw_flow: Tuple[int, int],
+        comp_hw_res: Tuple[int, int],
+    ):
+        """Chain-batched P-frame encode: (B+1, H, W, 3) uint8 consecutive
+        frames in, (B, h, w, C) int16 symbol stacks out (pair i = frames
+        i, i+1). Halves the host->device upload vs encode_pframes_batched."""
+        if not hasattr(self, "_raft_model"):
+            raise RuntimeError("attach_raft() first")
+        return self._fused_encode_chain_fn(
+            self.variables, self._raft_variables, jnp.asarray(chain_u8),
             tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
         )
 
@@ -403,6 +457,41 @@ class CodecRuntime:
             out.append((m_bs, m_shape, r_bs, r_shape))
         return out
 
+    def _decode_step_body(
+        self, variables, prev_raw, q_m, q_r, prev_post, iframe,
+        lmr_threshold, iir_alpha, target_hw,
+    ):
+        """Traced body shared by the per-frame fused decode and the
+        multi-frame scan decode: reconstruct + LMR + hist-match + IIR."""
+        # int16 symbols (fast transfer) -> float latents on device
+        if jnp.issubdtype(q_m.dtype, jnp.integer):
+            q_m = q_m.astype(jnp.float32) + jnp.asarray(
+                self.motion_tables.medians
+            )
+        if jnp.issubdtype(q_r.dtype, jnp.integer):
+            q_r = q_r.astype(jnp.float32) + jnp.asarray(
+                self.residual_tables.medians
+            )
+        out = self._apply(
+            variables, prev_raw, q_m, q_r, target_hw,
+            method=VideoCodec.reconstruct_p_frame,
+        )
+        raw = out["reconstructed"]
+        flow = out["flow"]
+        # Stage 2: LMR (threshold <= 0 disables via the mask)
+        mag = jnp.sqrt(
+            jnp.square(flow[..., 0]) + jnp.square(flow[..., 1])
+        )
+        mask = jnp.logical_and(mag < lmr_threshold, lmr_threshold > 0)
+        post = jnp.where(mask[..., None], iframe, raw)
+        # Stage 3: histogram match vs previous post-processed frame
+        post = histogram_match_ycrcb(post, prev_post)
+        # Stage 4: IIR (alpha = 0 is identity)
+        post = jnp.clip(
+            iir_alpha * prev_post + (1.0 - iir_alpha) * post, 0.0, 1.0
+        )
+        return raw, post
+
     @functools.cached_property
     def _fused_decode_fn(self):
         @functools.partial(jax.jit, static_argnames=("target_hw",))
@@ -410,32 +499,9 @@ class CodecRuntime:
             variables, prev_raw, q_m, q_r, prev_post, iframe,
             lmr_threshold, iir_alpha, target_hw,
         ):
-            # int16 symbols (fast transfer) -> float latents on device
-            if jnp.issubdtype(q_m.dtype, jnp.integer):
-                q_m = q_m.astype(jnp.float32) + jnp.asarray(
-                    self.motion_tables.medians
-                )
-            if jnp.issubdtype(q_r.dtype, jnp.integer):
-                q_r = q_r.astype(jnp.float32) + jnp.asarray(
-                    self.residual_tables.medians
-                )
-            out = self._apply(
-                variables, prev_raw, q_m, q_r, target_hw,
-                method=VideoCodec.reconstruct_p_frame,
-            )
-            raw = out["reconstructed"]
-            flow = out["flow"]
-            # Stage 2: LMR (threshold <= 0 disables via the mask)
-            mag = jnp.sqrt(
-                jnp.square(flow[..., 0]) + jnp.square(flow[..., 1])
-            )
-            mask = jnp.logical_and(mag < lmr_threshold, lmr_threshold > 0)
-            post = jnp.where(mask[..., None], iframe, raw)
-            # Stage 3: histogram match vs previous post-processed frame
-            post = histogram_match_ycrcb(post, prev_post)
-            # Stage 4: IIR (alpha = 0 is identity)
-            post = jnp.clip(
-                iir_alpha * prev_post + (1.0 - iir_alpha) * post, 0.0, 1.0
+            raw, post = self._decode_step_body(
+                variables, prev_raw, q_m, q_r, prev_post, iframe,
+                lmr_threshold, iir_alpha, target_hw,
             )
             u8 = jnp.clip(post * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
             return raw, post, u8
@@ -443,37 +509,122 @@ class CodecRuntime:
         return fn
 
     @functools.cached_property
-    def _to_i420_fn(self):
-        @jax.jit
-        def fn(post):
-            """(B, H, W, 3) float RGB -> (B, H*3/2, W) uint8 I420 planes.
+    def _scan_decode_fn(self):
+        @functools.partial(
+            jax.jit, static_argnames=("target_hw", "emit_i420")
+        )
+        def fn(
+            variables, prev_raw, prev_post, iframe, q_m_T, q_r_T,
+            lmr_threshold, iir_alpha, target_hw, emit_i420,
+        ):
+            """lax.scan over T frame steps in ONE dispatch: carries the
+            per-GOP-row recurrence state; emits the packed uint8 frames for
+            every step. q_*_T: (T, B, h, w, C) int16 symbol stacks."""
 
-            BT.601 studio-free (full-range JPEG-style, matching the
-            cv2.COLOR_BGR2YUV_I420 constants used by the IO layer) — packs
-            the decoded frame on device so the host download is 1.5 B/px
-            instead of 3.
-            """
-            x = post * 255.0
-            r, g, b = x[..., 0], x[..., 1], x[..., 2]
-            y = 0.299 * r + 0.587 * g + 0.114 * b
-            u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-            v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-            B, H, W = y.shape
-            u_sub = u.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
-            v_sub = v.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
-            yq = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
-            uq = jnp.clip(jnp.round(u_sub), 0, 255).astype(jnp.uint8).reshape(
-                B, H // 4, W
+            def step(carry, qs):
+                state_raw, pprev = carry
+                q_m, q_r = qs
+                raw, post = self._decode_step_body(
+                    variables, state_raw, q_m, q_r, pprev, iframe,
+                    lmr_threshold, iir_alpha, target_hw,
+                )
+                if emit_i420:
+                    u8 = self._rgb_to_i420_traced(post)
+                else:
+                    u8 = jnp.clip(post * 255.0 + 0.5, 0, 255).astype(
+                        jnp.uint8
+                    )
+                return (raw, post), u8
+
+            (raw_f, post_f), u8_T = jax.lax.scan(
+                step, (prev_raw, prev_post), (q_m_T, q_r_T)
             )
-            vq = jnp.clip(jnp.round(v_sub), 0, 255).astype(jnp.uint8).reshape(
-                B, H // 4, W
-            )
-            return jnp.concatenate([yq, uq, vq], axis=1)
+            return raw_f, post_f, u8_T
 
         return fn
 
+    def decode_pframes_scan(
+        self, prev_raw, prev_post, iframe, q_m_T, q_r_T,
+        lmr_threshold, iir_alpha, target_hw, emit_i420,
+    ):
+        """T decode steps (each batched over B GOP rows) in one dispatch.
+        Returns (raw_final, post_final, u8_frames (T, B, ...)). With
+        set_gop_mesh, the B axis is sharded across devices."""
+        prev_raw = jnp.asarray(prev_raw)
+        sh = getattr(self, "_gop_sharding", None)
+        if sh is not None and prev_raw.shape[0] % self._gop_mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = self._gop_mesh.axis_names[0]
+            row_sh = NamedSharding(self._gop_mesh, P(None, axis))
+            prev_raw, prev_post, iframe = (
+                jax.device_put(jnp.asarray(x), sh)
+                for x in (prev_raw, prev_post, iframe)
+            )
+            q_m_T = jax.device_put(jnp.asarray(q_m_T), row_sh)
+            q_r_T = jax.device_put(jnp.asarray(q_r_T), row_sh)
+        return self._scan_decode_fn(
+            self.variables, prev_raw, prev_post, iframe,
+            q_m_T, q_r_T,
+            jnp.float32(lmr_threshold), jnp.float32(iir_alpha),
+            tuple(int(v) for v in target_hw), bool(emit_i420),
+        )
+
+    @staticmethod
+    def _rgb_to_i420_traced(post):
+        """(B, H, W, 3) float RGB -> (B, H*3/2, W) uint8 I420 planes.
+
+        BT.601 studio-free (full-range JPEG-style, matching the
+        cv2.COLOR_BGR2YUV_I420 constants used by the IO layer) — packs
+        the decoded frame on device so the host download is 1.5 B/px
+        instead of 3.
+        """
+        x = post * 255.0
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        B, H, W = y.shape
+        u_sub = u.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+        v_sub = v.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+        yq = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+        uq = jnp.clip(jnp.round(u_sub), 0, 255).astype(jnp.uint8).reshape(
+            B, H // 4, W
+        )
+        vq = jnp.clip(jnp.round(v_sub), 0, 255).astype(jnp.uint8).reshape(
+            B, H // 4, W
+        )
+        return jnp.concatenate([yq, uq, vq], axis=1)
+
+    @functools.cached_property
+    def _to_i420_fn(self):
+        return jax.jit(self._rgb_to_i420_traced)
+
     def to_i420(self, post: jax.Array) -> jax.Array:
         return self._to_i420_fn(post)
+
+    def set_gop_mesh(self, mesh) -> None:
+        """Shard the GOP-batched decode across a device mesh.
+
+        Each batch row of decode_pframe_fused is an independent GOP
+        recurrence (SURVEY §2.11 GOP-parallelism), so rows distribute over
+        the mesh's `gop` axis with zero cross-device communication;
+        parameters replicate once. Pass None to disable."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            if getattr(self, "_gop_mesh", None) is not None:
+                self.variables = jax.device_put(
+                    self.variables, jax.devices()[0]
+                )
+            self._gop_mesh = None
+            self._gop_sharding = None
+            return
+        self._gop_mesh = mesh
+        self._gop_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        self.variables = jax.device_put(
+            self.variables, NamedSharding(mesh, P())
+        )
 
     def decode_pframe_fused(
         self,
@@ -489,9 +640,19 @@ class CodecRuntime:
         """One dispatch: reconstruct + all post stages + uint8 output.
         Returns (raw_recon, postprocessed, uint8_frames) — all batched
         (B, H, W, ...); pass B>1 stacks to decode independent GOPs in
-        parallel (each batch row carries its own recurrence state)."""
+        parallel (each batch row carries its own recurrence state). With
+        set_gop_mesh, rows are sharded across devices."""
+        prev_raw = jnp.asarray(prev_raw)
+        q_m, q_r = jnp.asarray(q_m), jnp.asarray(q_r)
+        prev_post, iframe = jnp.asarray(prev_post), jnp.asarray(iframe)
+        sh = getattr(self, "_gop_sharding", None)
+        if sh is not None and prev_raw.shape[0] % self._gop_mesh.size == 0:
+            prev_raw, q_m, q_r, prev_post, iframe = (
+                jax.device_put(x, sh)
+                for x in (prev_raw, q_m, q_r, prev_post, iframe)
+            )
         return self._fused_decode_fn(
-            self.variables, prev_raw, jnp.asarray(q_m), jnp.asarray(q_r),
+            self.variables, prev_raw, q_m, q_r,
             prev_post, iframe,
             jnp.float32(lmr_threshold), jnp.float32(iir_alpha),
             tuple(int(v) for v in target_hw),

@@ -85,6 +85,15 @@ def decode_video(
         and not collect_frames
     )
 
+    def _start_host_copy(x):
+        """Kick off the device->host transfer early so the blocking
+        np.asarray at emit time finds the bytes already landed."""
+        try:
+            x.copy_to_host_async()
+        except AttributeError:
+            pass
+        return x
+
     def emit(u8_frame, kind: str = "rgb") -> None:
         nonlocal n_frames
         with timer.span("frame_write"):
@@ -111,6 +120,19 @@ def decode_video(
     # the IIR filter is off (alpha couples consecutive GOPs through the
     # I-frame), so decode G of them as one batched recurrence.
     gop_batch = max(1, getattr(config, "decode_gop_batch", 1))
+    gop_devices = max(1, getattr(config, "decode_gop_devices", 1))
+    if gop_devices > 1 and gop_batch > 1:
+        import jax
+
+        from rdvc_tpu.parallel.mesh import make_data_mesh
+
+        n = min(gop_devices, len(jax.devices()))
+        if gop_batch % n != 0:
+            # Round the batch up so rows divide evenly over the mesh.
+            gop_batch = ((gop_batch + n - 1) // n) * n
+        runtime.set_gop_mesh(make_data_mesh(n, axis_name="gop"))
+    elif getattr(runtime, "_gop_mesh", None) is not None:
+        runtime.set_gop_mesh(None)
     if gop_batch > 1 and config.temporal_filter_alpha == 0 and not debug_on:
         try:
             _decode_gop_batched(
@@ -166,7 +188,7 @@ def decode_video(
                         jnp.uint8
                     )
                 )
-                pending_u8 = nxt
+                pending_u8 = _start_host_copy(nxt)
             else:
                 if ref_raw is None:
                     log.warning("P-frame %d before any I-frame; skipped", rec.index)
@@ -193,7 +215,7 @@ def decode_video(
                 # Overlap: write the previous frame while this one computes.
                 if pending_u8 is not None:
                     emit(pending_u8, emit_kind)
-                pending_u8 = frame_dev
+                pending_u8 = _start_host_copy(frame_dev)
                 ref_raw = raw  # codec reference stays RAW
             prev_post = post
         if pending_u8 is not None:
@@ -275,12 +297,18 @@ def _prefetch_items(runtime, p_items, pool, timer):
                 return
             items = self.items
             try:
+                # Pad to the fixed group size: every group hits ONE
+                # compiled decode-kernel shape (padded rows are dummy
+                # repeats, never read back).
+                pad = list(items) + [items[-1]] * (
+                    _DEVICE_DECODE_GROUP - len(items)
+                )
                 with timer.span("device_rans_decode_dispatch"):
                     m_stack = runtime.decode_payloads_device(
-                        [it[2] for it in items], "motion", items[0][1]
+                        [it[2] for it in pad], "motion", items[0][1]
                     )
                     r_stack = runtime.decode_payloads_device(
-                        [it[4] for it in items], "residual", items[0][3]
+                        [it[4] for it in pad], "residual", items[0][3]
                     )
                 self.stacks = (m_stack, r_stack)
             except Exception:
@@ -326,6 +354,68 @@ def _prefetch_items(runtime, p_items, pool, timer):
     return futs
 
 
+def _prefetch_chunks(runtime, p_items, group_size, pool, timer):
+    """Chunk-granular symbol prefetcher over a complete rectangular
+    (t-major) payload lattice. Returns chunk objects whose stacks() yields
+    (m (G, h, w, C), r (G, h, w, C)) int16 symbol stacks; device entropy
+    decode dispatches lazily with one-chunk lookahead, host-coded payloads
+    fall back to the thread pool + symbol upload."""
+    groups = [
+        p_items[i : i + group_size]
+        for i in range(0, len(p_items), group_size)
+    ]
+
+    class _Chunk:
+        def __init__(self, idx, items):
+            self.idx = idx
+            self.items = items
+            self._result = None
+            self._host_futs = None
+
+        def dispatch(self):
+            if self._result is not None or self._host_futs is not None:
+                return
+            items = list(self.items)
+            # Pad to the fixed kernel batch so every chunk hits one
+            # compiled decode-kernel shape.
+            while len(items) < max(group_size, _DEVICE_DECODE_GROUP):
+                items.append(items[-1])
+            try:
+                with timer.span("device_rans_decode_dispatch"):
+                    m = runtime.decode_payloads_device(
+                        [it[2] for it in items], "motion", items[0][1]
+                    )
+                    r = runtime.decode_payloads_device(
+                        [it[4] for it in items], "residual", items[0][3]
+                    )
+                self._result = (m[:group_size], r[:group_size])
+            except Exception:
+                log.debug("device entropy decode unavailable; host fallback")
+                self._host_futs = [
+                    pool.submit(
+                        lambda mb=it[2], ms=it[1], rb=it[4], rs=it[3]: (
+                            runtime.decompress_motion_symbols(mb, ms),
+                            runtime.decompress_residual_symbols(rb, rs),
+                        )
+                    )
+                    for it in items[:group_size]
+                ]
+
+        def stacks(self):
+            self.dispatch()
+            if self.idx + 1 < len(chunks):  # lookahead: overlap next
+                chunks[self.idx + 1].dispatch()
+            if self._result is not None:
+                return self._result
+            rows = [f.result() for f in self._host_futs]
+            m = np.concatenate([np.asarray(q[0]) for q in rows], 0)
+            r = np.concatenate([np.asarray(q[1]) for q in rows], 0)
+            return m, r
+
+    chunks = [_Chunk(i, g) for i, g in enumerate(groups)]
+    return chunks
+
+
 def _decode_gop_batched(
     config: CodecConfig,
     runtime: CodecRuntime,
@@ -359,30 +449,28 @@ def _decode_gop_batched(
         with timer.span("iframe_decode"):
             irgb = np.stack([decode_jpeg(g["ibytes"]) for g in group])
 
-        # Time-major symbol prefetch: step t's payloads across all GOP rows
-        # form one device entropy-decode batch; groups resolve lazily with
-        # one-group lookahead, so symbol production for step t+1 overlaps
-        # the device recurrence at step t.
-        max_len_all = max((len(g["p"]) for g in group), default=0)
+        # Complete (t, gi) payload lattice: finished/lone-I rows repeat a
+        # dummy payload so every chunk is a rectangular (T, B) block (their
+        # decoded symbols are computed and discarded — regularity buys one
+        # scan dispatch per chunk instead of one dispatch per step).
+        max_len = max((len(g["p"]) for g in group), default=0)
+        any_payload = next(
+            (g["p"][0] for g in group if g["p"]), None
+        )
         p_items = []
-        for t in range(max_len_all):
+        for t in range(max_len):
             for gi, g in enumerate(group):
                 if t < len(g["p"]):
-                    p_items.append(((gi, t),) + g["p"][t])
-        futs = _prefetch_items(runtime, p_items, pool, timer)
-
-        class _Syms:
-            def __getitem__(self, key):
-                with timer.span("rans_decode"):
-                    return futs[key].result()
-
-            def first(self):
-                with timer.span("rans_decode"):
-                    return (
-                        next(iter(futs.values())).result() if futs else None
-                    )
-
-        syms = _Syms()
+                    item = g["p"][t]
+                elif g["p"]:
+                    item = g["p"][len(g["p"]) - 1]
+                else:
+                    item = any_payload
+                p_items.append(((gi, t),) + item)
+        chunk_t = max(1, _DEVICE_DECODE_GROUP // B)
+        chunks = _prefetch_chunks(
+            runtime, p_items, chunk_t * B, pool, timer
+        )
 
         state_raw = jnp.asarray(irgb.astype(np.float32) / 255.0)
         prev_post = state_raw
@@ -395,55 +483,58 @@ def _decode_gop_batched(
             ]
         else:
             out_frames = [[("rgb", irgb[i])] for i in range(B)]
-        max_len = max_len_all
-        fallback = syms.first()
         kind = "i420" if use_i420 else "rgb"
-        pending_dl = None  # (active_rows, async device frame array)
+        pending_dl = None  # ([(t, active_rows)], async (T, B, ...) frames)
 
         def drain_download():
             nonlocal pending_dl
             if pending_dl is None:
                 return
-            act, dev = pending_dl
+            steps, dev = pending_dl
             pending_dl = None
             with timer.span("frame_download"):
                 arr = np.asarray(dev)
-            for gi in act:
-                out_frames[gi].append((kind, arr[gi]))
+            for ti, act in steps:
+                for gi in act:
+                    out_frames[gi].append((kind, arr[ti, gi]))
 
-        last_rows = [None] * len(group)  # most recent (qm, qr) per GOP row
-        for t in range(max_len):
-            qm_rows, qr_rows, active = [], [], []
-            for gi, g in enumerate(group):
-                if t < len(g["p"]):
-                    active.append(gi)
-                    qm, qr = syms[(gi, t)]
-                    last_rows[gi] = (qm, qr)
-                elif last_rows[gi] is not None:
-                    # Finished GOP: repeat its last row (output discarded).
-                    qm, qr = last_rows[gi]
-                else:
-                    # GOP with no P-frames (lone I-frame): dummy row,
-                    # output discarded.
-                    qm, qr = fallback
-                qm_rows.append(qm)
-                qr_rows.append(qr)
+        for ci, chunk in enumerate(chunks):
+            t0 = ci * chunk_t
+            n_t = min(chunk_t, max_len - t0)
+            with timer.span("rans_decode"):
+                m_stack, r_stack = chunk.stacks()
+            # The last chunk scans its padded dummy steps too (one compiled
+            # shape); their outputs and the post-group carry are discarded.
             with timer.span("decode_dispatch"):
-                raw, post, u8 = runtime.decode_pframe_fused(
-                    state_raw,
-                    jnp.concatenate([jnp.asarray(r) for r in qm_rows], 0),
-                    jnp.concatenate([jnp.asarray(r) for r in qr_rows], 0),
-                    prev_post,
-                    iframe,
-                    config.low_motion_replacement_threshold,
-                    0.0,
-                    (height, width),
+                m_T = jnp.asarray(m_stack).reshape(
+                    (chunk_t, B) + m_stack.shape[1:]
                 )
-                frame_dev = runtime.to_i420(post) if use_i420 else u8
-            state_raw, prev_post = raw, post
-            # Download of step t-1 overlaps the device computing step t.
+                r_T = jnp.asarray(r_stack).reshape(
+                    (chunk_t, B) + r_stack.shape[1:]
+                )
+                state_raw, prev_post, u8_T = runtime.decode_pframes_scan(
+                    state_raw, prev_post, iframe, m_T, r_T,
+                    config.low_motion_replacement_threshold, 0.0,
+                    (height, width), use_i420,
+                )
+            # Download of the previous chunk overlaps this chunk's compute.
             drain_download()
-            pending_dl = (active, frame_dev)
+            try:
+                u8_T.copy_to_host_async()
+            except AttributeError:
+                pass
+            steps = [
+                (
+                    ti,
+                    [
+                        gi
+                        for gi, g in enumerate(group)
+                        if t0 + ti < len(g["p"]) and gi < real
+                    ],
+                )
+                for ti in range(n_t)
+            ]
+            pending_dl = (steps, u8_T)
         drain_download()
         for gi in range(real):
             for k2, f in out_frames[gi]:

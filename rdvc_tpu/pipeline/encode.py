@@ -168,20 +168,38 @@ def encode_video(
         if not batch:
             return
         indices = [b[0] for b in batch]
-        prevs = np.stack([b[1] for b in batch])
-        curs = np.stack([b[2] for b in batch])
-        batch.clear()
-        # Pad partial batches to the fixed size (one compiled shape); the
-        # extra rows are dropped after download.
         B = max(1, config.encode_batch_size)
-        if prevs.shape[0] < B:
-            reps = B - prevs.shape[0]
-            prevs = np.concatenate([prevs, np.repeat(prevs[-1:], reps, 0)])
-            curs = np.concatenate([curs, np.repeat(curs[-1:], reps, 0)])
+        contiguous = all(
+            indices[i + 1] == indices[i] + 1 for i in range(len(indices) - 1)
+        )
         with timer.span("pframe_dispatch"):
-            m_sym, r_sym = runtime.encode_pframes_batched(
-                prevs, curs, raft_hw, flow_hw, res_hw
-            )
+            if contiguous:
+                # Consecutive P-frames share boundary frames: upload the
+                # (B+1)-frame chain once and pair on device (half the
+                # host->device bytes of separate prev/cur stacks).
+                chain = np.stack(
+                    [batch[0][1]]
+                    + [b[2] for b in batch]
+                    + [batch[-1][2]] * (B - len(batch))
+                )
+                m_sym, r_sym = runtime.encode_pframes_chain(
+                    chain, raft_hw, flow_hw, res_hw
+                )
+            else:
+                prevs = np.stack([b[1] for b in batch])
+                curs = np.stack([b[2] for b in batch])
+                if prevs.shape[0] < B:
+                    reps = B - prevs.shape[0]
+                    prevs = np.concatenate(
+                        [prevs, np.repeat(prevs[-1:], reps, 0)]
+                    )
+                    curs = np.concatenate(
+                        [curs, np.repeat(curs[-1:], reps, 0)]
+                    )
+                m_sym, r_sym = runtime.encode_pframes_batched(
+                    prevs, curs, raft_hw, flow_hw, res_hw
+                )
+        batch.clear()
         worker = (
             device_code_batch
             if getattr(config, "device_entropy_coding", False)

@@ -177,6 +177,11 @@ class Trainer:
             if min(H, W) > 160:
                 msssim_val = jnp.mean(ms_ssim(recon, f2))
             else:
+                log.warning(
+                    "crop %dx%d <= 160px: phase-3 MS-SSIM term falls back "
+                    "to single-scale SSIM (different loss than the "
+                    "reference's 256-crop MS-SSIM)", H, W,
+                )
                 msssim_val = jnp.mean(
                     ssim(recon, f2, win_size=11, gaussian=True)
                 )

@@ -198,6 +198,32 @@ def test_gop_batched_matches_serial(tmp_path, runtime):
 
 
 @pytest.mark.slow
+def test_gop_mesh_sharded_matches_serial(tmp_path, runtime):
+    """Multi-device GOP-parallel decode (rows sharded over a `gop` mesh,
+    SURVEY §2.11) must produce identical frames to the serial path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    in_path, _ = _make_video(tmp_path, n=18)
+    config = _small_config(tmp_path, in_path)
+    encode_video(config, runtime=runtime)
+    config.decode_gop_batch = 4
+    config.decode_gop_devices = 2
+    d_mesh = decode_video(config, runtime=runtime, collect_frames=True)
+    assert runtime._gop_mesh is not None
+    config.decode_gop_batch = 1
+    config.decode_gop_devices = 1
+    d_serial = decode_video(config, runtime=runtime, collect_frames=True)
+    assert runtime._gop_mesh is None
+    assert d_mesh["frames"] == d_serial["frames"] == 18
+    for i, (a, b) in enumerate(
+        zip(d_mesh["decoded_frames"], d_serial["decoded_frames"])
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+
+
+@pytest.mark.slow
 def test_gop_batched_lone_trailing_iframe(tmp_path, runtime):
     """A video ending exactly on an I-frame (zero-P GOP) must decode."""
     in_path, _ = _make_video(tmp_path, n=9)  # iframe_interval=4: I@0,4,8; GOP3 = lone I
