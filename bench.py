@@ -169,6 +169,13 @@ def main():
             "decode_stage_ms": _stage_ms(dec["timings"]),
         },
     }
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        result["detail"]["peak_device_bytes"] = int(
+            stats.get("peak_bytes_in_use", 0)
+        )
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

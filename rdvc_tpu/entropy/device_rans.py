@@ -7,19 +7,26 @@ number of bytes per symbol — hostile to vector hardware — so this coder uses
 the 16-bit-renormalization rANS variant (b = 2^16, L = 2^16, 32-bit state):
 every encode step emits EXACTLY 0 or 1 uint16 word. That makes the whole
 encoder a lax.scan of uint32 vector arithmetic over S independent streams,
-followed by a single lax.sort pass that compacts the (step, stream) word
-grid into per-stream prefixes.
+followed by a single lax.sort pass that flattens the (step, stream) word
+grid into exact stream-major payload order.
+
+Streams are CHANNEL-ALIGNED: every stream codes exactly one latent channel,
+so the per-symbol CDF lookup inside both kernels is a comparison-sum
+against a per-stream constant table row (pure VPU math). TPU gathers pay
+per index — the naive gather formulation was the entropy-coding
+bottleneck.
 
 Out-of-table symbols are not bypass-coded on device: a batch containing any
 escape falls back to the host coder (they are rare by construction once the
 entropy model matches the data — tail_mass 1e-9).
 
-Bitstream format (payload tag 0x02, "chunked rANS16"):
-    [u8 0x02][u32 n_symbols][u16 S][u32 byte_len[S]][stream bytes...]
+Bitstream format (payload tag 0x03, "channel-aligned chunked rANS16"):
+    [u8 0x03][u32 n_symbols][u16 S][u32 stream_len L][u32 byte_len[S]]
+    [stream bytes...]
 Each stream's bytes are little-endian uint16 words in DECODE order: the
 final encoder state (2 words, high first) followed by the emitted words
 reversed. Decoding is embarrassingly parallel across streams (see
-rans.cpp: rdvc_rans16_decode).
+rans.cpp: rdvc_rans16ca_decode).
 """
 
 from __future__ import annotations
@@ -36,9 +43,25 @@ from rdvc_tpu.entropy.factorized import CdfTables
 
 PROB_BITS = 16
 RANS16_L = 1 << 16
-CHUNKED_TAG = 0x02
+CA_TAG = 0x03  # channel-aligned chunked rANS16 (one channel per stream)
 SINGLE_TAG = 0x01
 DEFAULT_STREAMS = 4096
+
+
+def ca_layout(channels: int, hw: int, target_streams: int = DEFAULT_STREAMS):
+    """Channel-aligned stream layout: every stream codes exactly ONE
+    channel, so the (data-dependent) CDF table lookup inside the kernels
+    becomes a comparison-sum against a per-stream constant row — no TPU
+    gathers, which serialize per index and dominated the 0x02 kernels.
+
+    K = streams per channel, S = K * channels total streams, L = per-stream
+    symbol capacity (unroll-padded). Stream s codes channel s // K, pixels
+    [(s % K) * L, min((s % K + 1) * L, hw)).
+    """
+    K = max(1, round(target_streams / channels))
+    L = -(-hw // K)
+    L = -(-L // _UNROLL) * _UNROLL
+    return K, K * channels, L
 
 
 def _pad_to_streams(n: int, num_streams: int) -> Tuple[int, int]:
@@ -47,99 +70,6 @@ def _pad_to_streams(n: int, num_streams: int) -> Tuple[int, int]:
 
 
 _UNROLL = 8
-
-
-@functools.partial(jax.jit, static_argnames=("num_streams",))
-def _encode_kernel(
-    symbols: jax.Array,      # (N,) int32
-    indexes: jax.Array,      # (N,) int32 channel ids
-    cdf: jax.Array,          # (C, Lc) uint32 (values < 2^16 except last)
-    cdf_length: jax.Array,   # (C,) int32
-    offsets: jax.Array,      # (C,) int32
-    num_streams: int,
-):
-    """Returns (words (L, S) uint16 emission-order dense grid,
-    flags (L, S) bool, states (S,) uint32, escape_count ()).
-
-    The scan body handles _UNROLL consecutive symbols per step: the per-
-    symbol work is tiny vector math, so scan-step latency dominates — an
-    8x unroll cuts the sequential step count 8x at identical total work.
-    """
-    n = symbols.shape[0]
-    L, padded = _pad_to_streams(n, num_streams)
-    # Round the per-stream length up to the unroll factor.
-    L = -(-L // _UNROLL) * _UNROLL
-    padded = L * num_streams
-    S = num_streams
-    # Stream s owns symbols [s*L, (s+1)*L); padding symbols are masked out.
-    pad = padded - n
-    sym = jnp.pad(symbols, (0, pad)).reshape(S, L)
-    idx = jnp.pad(indexes, (0, pad)).reshape(S, L)
-    valid = (
-        jnp.pad(jnp.ones((n,), jnp.bool_), (0, pad), constant_values=False)
-    ).reshape(S, L)
-
-    max_v = cdf_length - 2  # escape symbol id per channel
-
-    def one(state, j):
-        # Process symbol column j (reverse order handled by the caller).
-        s_val = sym[:, j]
-        c = idx[:, j]
-        v = s_val - offsets[c]
-        mv = max_v[c]
-        esc = (v < 0) | (v >= mv)
-        coded = jnp.where(esc, mv, v)
-        start = cdf[c, coded].astype(jnp.uint32)
-        freq = (cdf[c, coded + 1] - cdf[c, coded]).astype(jnp.uint32)
-        is_valid = valid[:, j]
-
-        x = state
-        x_max = freq << PROB_BITS
-        emit = (x >= x_max) & is_valid
-        word = (x & 0xFFFF).astype(jnp.uint16)
-        x = jnp.where(emit, x >> 16, x)
-        x_new = ((x // freq) << PROB_BITS) + (x % freq) + start
-        state = jnp.where(is_valid, x_new, x)
-        n_esc = jnp.sum(jnp.where(is_valid, esc, False).astype(jnp.int32))
-        return state, word, emit, n_esc
-
-    def body(state, i):
-        words, emits, escs = [], [], []
-        for k in range(_UNROLL):
-            # Reversed symbol order: step i, slot k -> column L-1-(i*U+k).
-            j = L - 1 - (i * _UNROLL + k)
-            state, word, emit, n_esc = one(state, j)
-            words.append(word)
-            emits.append(emit)
-            escs.append(n_esc)
-        return state, (
-            jnp.stack(words), jnp.stack(emits), sum(escs)
-        )
-
-    init = jnp.full((S,), RANS16_L, jnp.uint32)
-    states, (words, flags, escs) = jax.lax.scan(
-        body, init, jnp.arange(L // _UNROLL, dtype=jnp.int32)
-    )
-    # (L/U, U, S) -> (L, S) in emission order
-    words = words.reshape(L, S)
-    flags = flags.reshape(L, S)
-    return words, flags, states, jnp.sum(escs)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _compact_kernel(words: jax.Array, flags: jax.Array):
-    """Sort-based stream compaction: per stream, gather flagged words to the
-    front preserving emission order. Returns (compact (L, S) uint16,
-    lengths (S,) int32, max_len ())."""
-    L, S = words.shape
-    order = jax.lax.broadcasted_iota(jnp.uint32, (L, S), 0)
-    keys = jnp.where(flags, order, jnp.uint32(0xFFFFFFFF))
-    # Sort along axis 0 per stream; payload follows keys.
-    _, compact = jax.lax.sort(
-        (keys, words.astype(jnp.uint16)), dimension=0, num_keys=1
-    )
-    lengths = jnp.sum(flags.astype(jnp.int32), axis=0)
-    return compact, lengths, jnp.max(lengths)
 
 
 def _geometric_buckets(lo: int = 64, hi: int = 1 << 28):
@@ -165,31 +95,77 @@ def _bucket(n: int) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("num_streams",))
-def _encode_batch_kernel(
-    symbols: jax.Array,      # (B, N) int32
-    indexes: jax.Array,      # (N,) int32 channel ids (same layout per frame)
-    cdf: jax.Array,
-    cdf_length: jax.Array,
-    offsets: jax.Array,
-    num_streams: int,
+@functools.partial(jax.jit, static_argnames=("K", "hw"))
+def _encode_ca_batch_kernel(
+    symbols: jax.Array,     # (B, hw, C) int32 tensor-order symbols
+    start_rows: jax.Array,  # (S, M) uint32 per-stream CDF row
+    freq_rows: jax.Array,   # (S, M) uint32 per-stream frequency row
+    max_v: jax.Array,       # (S,) int32 escape id per stream
+    offs_s: jax.Array,      # (S,) int32 offset per stream
+    K: int,
+    hw: int,
 ):
-    """vmapped rANS16 encode over a batch of frames: one dispatch encodes
-    every frame's symbol tensor. Returns ((B,L,S) words, (B,L,S) flags,
-    (B,S) states, (B,) escape counts)."""
-    enc = jax.vmap(
-        lambda s: _encode_kernel(
-            s, indexes, cdf, cdf_length, offsets, num_streams
+    """Channel-aligned rANS16 encode (tag 0x03): the table lookup is a
+    comparison-sum against per-stream constant rows — pure VPU math, no
+    gathers. Returns ((B, L, S) words, flags, (B, S) states, (B,) escapes).
+    """
+    Bb, hw_in, C = symbols.shape
+    S, M = start_rows.shape
+    L = (-(-hw // K) + _UNROLL - 1) // _UNROLL * _UNROLL
+    # (B, hw, C) -> (B, C, K, L) -> (B, S, L): stream s = c * K + j.
+    pad = K * L - hw
+    grid = jnp.pad(
+        symbols.transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad))
+    ).reshape(Bb, S, L)
+    t_of = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+    j_of = (jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) % K) * L
+    valid_grid = (j_of + t_of) < hw  # (S, L)
+    kk = jnp.arange(M, dtype=jnp.int32)[None, :]  # (1, M)
+
+    def one(state, j):
+        s_val = grid[:, :, j]                     # (B, S)
+        v = s_val - offs_s[None, :]
+        esc = (v < 0) | (v >= max_v[None, :])
+        coded = jnp.where(esc, max_v[None, :], v)  # (B, S)
+        onehot = kk[None] == coded[..., None]      # (B, S, M)
+        start = jnp.sum(
+            jnp.where(onehot, start_rows[None], 0), axis=-1,
+            dtype=jnp.uint32,
         )
+        freq = jnp.sum(
+            jnp.where(onehot, freq_rows[None], 0), axis=-1,
+            dtype=jnp.uint32,
+        )
+        is_valid = valid_grid[:, j][None, :]       # (1, S)
+
+        x = state
+        x_max = freq << PROB_BITS
+        emit = (x >= x_max) & is_valid
+        word = (x & 0xFFFF).astype(jnp.uint16)
+        x = jnp.where(emit, x >> 16, x)
+        x_new = ((x // freq) << PROB_BITS) + (x % freq) + start
+        state = jnp.where(is_valid, x_new, x)
+        n_esc = jnp.sum((esc & is_valid).astype(jnp.int32), axis=1)  # (B,)
+        return state, word, emit, n_esc
+
+    def body(state, i):
+        words, emits, escs = [], [], []
+        for k in range(_UNROLL):
+            j = L - 1 - (i * _UNROLL + k)  # reversed symbol order
+            state, word, emit, n_esc = one(state, j)
+            words.append(word)
+            emits.append(emit)
+            escs.append(n_esc)
+        return state, (jnp.stack(words), jnp.stack(emits), sum(escs))
+
+    init = jnp.full((Bb, S), RANS16_L, jnp.uint32)
+    states, (words, flags, escs) = jax.lax.scan(
+        body, init, jnp.arange(L // _UNROLL, dtype=jnp.int32)
     )
-    return enc(symbols)
-
-
-@jax.jit
-def _compact_batch_kernel(words: jax.Array, flags: jax.Array):
-    """(B, L, S) -> per-frame sort compaction in one dispatch."""
-    compact, lengths, _ = jax.vmap(_compact_kernel)(words, flags)
-    return compact, lengths, jnp.max(lengths)
+    # (L/U, U, B, S) -> (B, L, S) emission order
+    words = words.reshape(L, Bb, S).transpose(1, 0, 2)
+    flags = flags.reshape(L, Bb, S).transpose(1, 0, 2)
+    return words, flags, states, jnp.sum(escs, axis=0)
 
 
 def _flatten_kernel(words: jax.Array, flags: jax.Array):
@@ -224,16 +200,29 @@ def _flatten_batch_kernel(words: jax.Array, flags: jax.Array):
 
 
 class DeviceRansEncoder:
-    """Encodes (B, h, w, C) latent symbol tensors on device into chunked
-    rANS16 payloads; falls back to None when escapes are present (caller
-    should use the host coder)."""
+    """Encodes (B, h, w, C) latent symbol tensors on device into
+    channel-aligned chunked rANS16 payloads (tag 0x03); falls back to None
+    when escapes are present (caller should use the host coder)."""
 
     def __init__(self, tables: CdfTables, num_streams: int = DEFAULT_STREAMS):
         self.tables = tables
-        self.num_streams = num_streams
-        self._cdf = jnp.asarray(tables.quantized_cdf, jnp.uint32)
-        self._cdf_len = jnp.asarray(tables.cdf_length, jnp.int32)
-        self._off = jnp.asarray(tables.offset, jnp.int32)
+        self.target_streams = num_streams
+        cdf = np.asarray(tables.quantized_cdf, np.uint32)
+        C, M = cdf.shape
+        self.channels = C
+        self.K = max(1, round(num_streams / C))
+        self.num_streams = self.K * C
+        # Per-STREAM constant table rows (stream s codes channel s // K).
+        c_of_s = np.arange(self.num_streams) // self.K
+        start = cdf[c_of_s]                        # (S, M)
+        freq = np.zeros_like(start)
+        freq[:, :-1] = start[:, 1:] - start[:, :-1]
+        self._start_rows = jnp.asarray(start)
+        self._freq_rows = jnp.asarray(freq)
+        self._max_v = jnp.asarray(
+            tables.cdf_length[c_of_s] - 2, jnp.int32
+        )
+        self._offs_s = jnp.asarray(tables.offset[c_of_s], jnp.int32)
 
     def encode_device(self, sym_dev: jax.Array):
         """Single-frame convenience wrapper around encode_device_batch."""
@@ -248,17 +237,18 @@ class DeviceRansEncoder:
         (flat_words (B, L*S) stream-major, lengths (B,S), totals (B,),
         states (B,S), esc (B,), n_symbols_per_frame, stream_len L)."""
         B, h, w, c = sym_dev.shape
-        flat = sym_dev.reshape(B, -1).astype(jnp.int32)
-        idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), h * w)
-        words, flags, states, esc = _encode_batch_kernel(
-            flat, idx, self._cdf, self._cdf_len, self._off, self.num_streams
+        hw = h * w
+        sym = sym_dev.reshape(B, hw, c).astype(jnp.int32)
+        words, flags, states, esc = _encode_ca_batch_kernel(
+            sym, self._start_rows, self._freq_rows,
+            self._max_v, self._offs_s, self.K, hw,
         )
         flat_words, lengths, totals = _flatten_batch_kernel(words, flags)
-        # words.shape[1] is the (unroll-padded) per-stream symbol count L;
-        # it goes into the header so decoders derive stream ownership.
+        # words.shape[1] is the (unroll-padded) per-stream symbol capacity
+        # L; it goes into the header so decoders derive stream ownership.
         return (
             flat_words, lengths, totals, states, esc,
-            flat.shape[1], words.shape[1],
+            hw * c, words.shape[1],
         )
 
     def assemble(
@@ -312,7 +302,7 @@ class DeviceRansEncoder:
             byte_lens = (2 * (k + 2)).astype("<u4")
             payload = b"".join(
                 (
-                    struct.pack("<BIHI", CHUNKED_TAG, n_symbols, S, stream_len),
+                    struct.pack("<BIHI", CA_TAG, n_symbols, S, stream_len),
                     byte_lens.tobytes(),
                     buf.astype("<u2").tobytes(),
                 )
@@ -324,67 +314,75 @@ class DeviceRansEncoder:
 _DEC_UNROLL = 8
 
 
-@functools.partial(jax.jit, static_argnames=("L", "C", "n_symbols"))
-def _decode_batch_kernel(
+@functools.partial(jax.jit, static_argnames=("K", "L", "hw"))
+def _decode_ca_batch_kernel(
     grids: jax.Array,     # (B, Wmax, S) uint16 word grids (decode order)
-    lut: jax.Array,       # (C * 65536,) int32: cum -> symbol index
-    cdf_flat: jax.Array,  # (C * Lc,) uint32 flattened CDF rows
-    row_stride: int,
-    offsets: jax.Array,   # (C,) int32
+    cdf_rows: jax.Array,  # (S, M) uint32 per-stream CDF row (pad 2^16)
+    offs_s: jax.Array,    # (S,) int32 per-stream offset
+    K: int,
     L: int,
-    C: int,
-    n_symbols: int,
+    hw: int,
 ):
-    """Batched chunked-rANS16 decode on device.
+    """Channel-aligned chunked-rANS16 decode (tag 0x03) on device.
 
-    Mirrors decode_chunked_py exactly: per stream, L sequential symbol
-    steps; each step reads the symbol via a dense 2^16-entry LUT (one
-    gather instead of a binary search), updates the state, and conditionally
-    consumes the next word. All B payloads x S streams advance in lockstep
-    on the VPU. Returns (B, n_symbols) int32 symbols (offsets applied).
+    The symbol search is a comparison-sum against the per-stream constant
+    CDF row (row[0] = 0, padded with 2^16 so dead entries never match) —
+    no dense LUT, no gathers. Returns (B, hw, C) int32 symbols in tensor
+    order (offsets applied).
     """
     Bb, Wmax, S = grids.shape
+    C = S // K
     flat = grids.reshape(Bb, Wmax * S)
-
     state = (grids[:, 0, :].astype(jnp.uint32) << 16) | grids[
         :, 1, :
     ].astype(jnp.uint32)                       # (B, S)
     pos = jnp.full((Bb, S), 2, jnp.int32)
-    # Channel of stream s at step t: (s*L + t) % C.
-    c0 = (jnp.arange(S, dtype=jnp.int32) * L) % C
+    rows_u = cdf_rows.astype(jnp.uint32)[None]  # (1, S, M)
+    lane = jnp.arange(S, dtype=jnp.int32)[None, :]
 
     def one(carry, t):
         state, pos = carry
-        c = (c0 + t) % C                       # (S,)
-        cum = (state & 0xFFFF).astype(jnp.int32)
-        sidx = lut[c[None, :] * 65536 + cum]   # (B, S) gather
-        base = c * row_stride
-        start = cdf_flat[base[None, :] + sidx]
-        freq = cdf_flat[base[None, :] + sidx + 1] - start
-        state = freq * (state >> 16) + cum.astype(jnp.uint32) - start
+        cum = (state & 0xFFFF).astype(jnp.uint32)  # (B, S)
+        ge = rows_u <= cum[..., None]              # (B, S, M)
+        sidx = jnp.sum(ge.astype(jnp.int32), axis=-1) - 1
+        onehot = (
+            jnp.arange(rows_u.shape[-1], dtype=jnp.int32)[None, None]
+            == sidx[..., None]
+        )
+        start = jnp.sum(jnp.where(onehot, rows_u, 0), -1, dtype=jnp.uint32)
+        nxt = jnp.sum(
+            jnp.where(
+                jnp.arange(rows_u.shape[-1], dtype=jnp.int32)[None, None]
+                == (sidx + 1)[..., None],
+                rows_u, 0,
+            ),
+            -1, dtype=jnp.uint32,
+        )
+        freq = nxt - start
+        state = freq * (state >> 16) + cum - start
         need = state < RANS16_L
-        word = jnp.take_along_axis(
-            flat, pos * S + jnp.arange(S, dtype=jnp.int32)[None, :], axis=1
-        ).astype(jnp.uint32)
+        word = jnp.take_along_axis(flat, pos * S + lane, axis=1).astype(
+            jnp.uint32
+        )
         state = jnp.where(need, (state << 16) | word, state)
         pos = pos + need.astype(jnp.int32)
-        sym = sidx + offsets[c][None, :]
-        return (state, pos), sym.astype(jnp.int32)
+        return (state, pos), sidx
 
     def body(carry, i):
         syms = []
         for k in range(_DEC_UNROLL):
             carry, sym = one(carry, i * _DEC_UNROLL + k)
             syms.append(sym)
-        return carry, jnp.stack(syms)          # (U, B, S)
+        return carry, jnp.stack(syms)              # (U, B, S)
 
     n_steps = L // _DEC_UNROLL
     (_, _), out = jax.lax.scan(
         body, (state, pos), jnp.arange(n_steps, dtype=jnp.int32)
-    )                                           # (n_steps, U, B, S)
-    # (steps*U, B, S) -> (B, S, L): stream s owns symbols [s*L, (s+1)*L).
-    out = out.reshape(L, Bb, S).transpose(1, 2, 0).reshape(Bb, S * L)
-    return out[:, :n_symbols]
+    )                                               # (n_steps, U, B, S)
+    out = out.reshape(L, Bb, S) + offs_s[None, None, :]
+    # (L, B, S=C*K) -> (B, C, K*L) -> crop pixel padding -> (B, hw, C)
+    out = out.transpose(1, 2, 0).reshape(Bb, C, K * L)[:, :, :hw]
+    return out.transpose(0, 2, 1).astype(jnp.int32)
 
 
 class DeviceRansDecoder:
@@ -394,23 +392,7 @@ class DeviceRansDecoder:
 
     def __init__(self, tables: CdfTables):
         self.tables = tables
-        cdf = tables.quantized_cdf
-        C, Lc = cdf.shape
-        self._row_stride = Lc
-        self._cdf_flat = jnp.asarray(cdf.reshape(-1), jnp.uint32)
-        self._off = jnp.asarray(tables.offset, jnp.int32)
-        self._C = C
-        # Dense cum -> symbol-index LUT (uint16 rows would save HBM but the
-        # gather output is int32 anyway).
-        lut = np.empty((C, 65536), np.int32)
-        cum = np.arange(65536)
-        for c in range(C):
-            cl = int(tables.cdf_length[c])
-            row = cdf[c, :cl]
-            lut[c] = np.minimum(
-                np.searchsorted(row, cum, side="right") - 1, cl - 2
-            )
-        self._lut = jnp.asarray(lut.reshape(-1))
+        self._C = tables.quantized_cdf.shape[0]
 
     def prepare_grids(self, payloads: List[bytes]):
         """Parse + pack chunked payloads into one (B, Wmax, S) uint16 grid
@@ -441,19 +423,42 @@ class DeviceRansDecoder:
             grid[b] = buf.T
         return grid, n_symbols, L
 
-    def decode_device(self, payloads: List[bytes]) -> jax.Array:
-        """[chunked payloads] -> (B, n_symbols) int32 device symbols."""
-        grid, n_symbols, L = self.prepare_grids(payloads)
-        return _decode_batch_kernel(
-            jnp.asarray(grid), self._lut, self._cdf_flat, self._row_stride,
-            self._off, L, self._C, n_symbols,
+    @functools.lru_cache(maxsize=4)
+    def _ca_rows(self, S: int):
+        """Per-stream CDF rows for the channel-aligned layout, padded with
+        2^16 beyond each channel's cdf_length so dead entries never match
+        the comparison-sum symbol search."""
+        cdf = np.asarray(self.tables.quantized_cdf, np.int64)
+        C, M = cdf.shape
+        K = S // C
+        rows = np.full((C, M), 1 << 16, np.int64)
+        for c in range(C):
+            cl = int(self.tables.cdf_length[c])
+            rows[c, :cl] = cdf[c, :cl]
+        c_of_s = np.arange(S) // K
+        return (
+            jnp.asarray(rows[c_of_s], jnp.uint32),
+            jnp.asarray(self.tables.offset[c_of_s], jnp.int32),
+            K,
         )
+
+    def decode_device(self, payloads: List[bytes]) -> jax.Array:
+        """[channel-aligned payloads] -> (B, n_symbols) int32 device
+        symbols in tensor (pixel-major, channel-minor) order."""
+        grid, n_symbols, L = self.prepare_grids(payloads)
+        S = grid.shape[2]
+        rows, offs_s, K = self._ca_rows(S)
+        hw = n_symbols // self._C
+        out = _decode_ca_batch_kernel(
+            jnp.asarray(grid), rows, offs_s, K, L, hw,
+        )
+        return out.reshape(out.shape[0], n_symbols)
 
 
 def parse_chunked_header(payload: bytes):
     """-> (n_symbols, S, stream_len, [(offset, length)])"""
     tag, n_symbols, S, stream_len = struct.unpack("<BIHI", payload[:11])
-    if tag != CHUNKED_TAG:
+    if tag != CA_TAG:
         raise ValueError(f"not a chunked payload (tag {tag})")
     lens = np.frombuffer(payload[11 : 11 + 4 * S], "<u4")
     off = 11 + 4 * S
@@ -464,27 +469,35 @@ def parse_chunked_header(payload: bytes):
     return n_symbols, S, stream_len, spans
 
 
-def decode_chunked_py(
-    payload: bytes, indexes: np.ndarray, tables: CdfTables
-) -> np.ndarray:
-    """Pure-Python reference decoder for chunked rANS16 payloads (the
-    executable spec for the C++ rdvc_rans16_decode)."""
+def decode_chunked_ca_py(payload: bytes, tables: CdfTables) -> np.ndarray:
+    """Pure-Python reference decoder for CHANNEL-ALIGNED chunked rANS16
+    payloads (tag 0x03) — the executable spec for the C++
+    rdvc_rans16ca_decode. Returns (n_symbols,) int32 symbols in tensor
+    (pixel-major, channel-minor) order."""
     n_symbols, S, L, spans = parse_chunked_header(payload)
-    assert indexes.shape[0] == n_symbols
-    out = np.zeros(n_symbols, np.int32)
+    if payload[0] != CA_TAG:
+        raise ValueError("not a channel-aligned payload")
     cdf = tables.quantized_cdf
     cdf_len = tables.cdf_length
     off = tables.offset
+    C = cdf.shape[0]
+    if S % C or n_symbols % C:
+        raise ValueError("stream/symbol counts not divisible by channels")
+    K = S // C
+    hw = n_symbols // C
+    out = np.zeros(n_symbols, np.int32)
     for s, (o, ln) in enumerate(spans):
+        c = s // K
+        j = s % K
+        count = max(0, min(L, hw - j * L))
+        if count == 0:
+            continue
         words = np.frombuffer(payload[o : o + ln], "<u2")
         state = (int(words[0]) << 16) | int(words[1])
         pos = 2
-        base = s * L
-        count = min(L, n_symbols - base)
+        row = cdf[c]
+        cl = int(cdf_len[c])
         for t in range(count):
-            c = int(indexes[base + t])
-            row = cdf[c]
-            cl = int(cdf_len[c])
             cum = state & 0xFFFF
             sidx = int(np.searchsorted(row[:cl], cum, side="right")) - 1
             sidx = min(sidx, cl - 2)
@@ -496,5 +509,5 @@ def decode_chunked_py(
                 pos += 1
             if sidx == cl - 2:
                 raise ValueError("escape symbol in chunked stream")
-            out[base + t] = sidx + int(off[c])
+            out[(j * L + t) * C + c] = sidx + int(off[c])
     return out

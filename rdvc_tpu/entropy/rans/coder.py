@@ -58,12 +58,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
-        lib.rdvc_rans16_decode.restype = ctypes.c_int64
-        lib.rdvc_rans16_decode.argtypes = [
+        lib.rdvc_rans16ca_decode.restype = ctypes.c_int64
+        lib.rdvc_rans16ca_decode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
+            ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
@@ -277,37 +277,36 @@ def _channel_indexes(shape_hw: tuple, channels: int) -> np.ndarray:
     return np.tile(np.arange(channels, dtype=np.int32), h * w)
 
 
-# Payload tags: single-stream host rANS (0x01) vs chunked device rANS16
-# (0x02, entropy/device_rans.py). Dispatch happens at decode time.
+# Payload tags: single-stream host rANS (0x01) vs channel-aligned chunked
+# device rANS16 (0x03, entropy/device_rans.py). Dispatch at decode time.
 SINGLE_TAG = 0x01
-CHUNKED_TAG = 0x02
+CA_TAG = 0x03
 
 
-def decode_chunked(
+def decode_chunked_ca(
     payload: bytes,
-    indexes: np.ndarray,
+    n_symbols: int,
     tables: CdfTables,
     num_threads: int = 4,
 ) -> np.ndarray:
-    """Decode a chunked rANS16 payload (C++ parallel-stream fast path with a
-    pure-Python fallback)."""
-    indexes = np.ascontiguousarray(indexes, np.int32)
+    """Decode a channel-aligned chunked rANS16 payload (tag 0x03; C++
+    parallel-stream fast path with a pure-Python fallback). Output is in
+    tensor (pixel-major, channel-minor) order."""
     lib = _load_lib()
     if lib is None:
-        from rdvc_tpu.entropy.device_rans import decode_chunked_py
+        from rdvc_tpu.entropy.device_rans import decode_chunked_ca_py
 
-        return decode_chunked_py(payload, indexes, tables)
-    buf = np.frombuffer(payload, np.uint8)
-    buf = np.ascontiguousarray(buf)
+        return decode_chunked_ca_py(payload, tables)
+    buf = np.ascontiguousarray(np.frombuffer(payload, np.uint8))
     cdfs = np.ascontiguousarray(tables.quantized_cdf, np.uint32)
     lens = np.ascontiguousarray(tables.cdf_length, np.int32)
     offs = np.ascontiguousarray(tables.offset, np.int32)
-    out = np.zeros(indexes.shape[0], np.int32)
-    rc = lib.rdvc_rans16_decode(
+    out = np.zeros(n_symbols, np.int32)
+    rc = lib.rdvc_rans16ca_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         buf.shape[0],
-        indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        indexes.shape[0],
+        n_symbols,
+        cdfs.shape[0],
         cdfs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         cdfs.shape[1],
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -316,7 +315,7 @@ def decode_chunked(
         num_threads,
     )
     if rc != 0:
-        raise RuntimeError(f"chunked rANS decode failed: {rc}")
+        raise RuntimeError(f"channel-aligned rANS decode failed: {rc}")
     return out
 
 
@@ -334,8 +333,10 @@ def decode_payload(
     if tag == SINGLE_TAG:
         codec = codec or RansCodec()
         return codec.decode(payload[1:], indexes, tables)
-    if tag == CHUNKED_TAG:
-        return decode_chunked(payload, indexes, tables, num_threads)
+    if tag == CA_TAG:
+        return decode_chunked_ca(
+            payload, indexes.shape[0], tables, num_threads
+        )
     raise ValueError(f"unknown payload tag {tag}")
 
 

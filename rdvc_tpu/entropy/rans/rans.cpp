@@ -210,7 +210,8 @@ int64_t rdvc_rans_decode(const uint8_t* data, int64_t data_len,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Chunked rANS16 decoder (payload tag 0x02; see entropy/device_rans.py).
+// Channel-aligned chunked rANS16 decoder (payload tag 0x03; see
+// entropy/device_rans.py).
 // 16-bit renormalization variant produced by the TPU-side encoder: per
 // stream, words are [state_hi, state_lo, emitted words in decode order].
 // Streams are independent -> decoded in parallel with std::thread.
@@ -228,17 +229,15 @@ struct StreamSpan {
   int64_t count;  // symbols in this stream
 };
 
-int decode_stream16(const StreamSpan& sp, const int32_t* indexes,
-                    const uint32_t* cdfs, int64_t cdf_stride,
-                    const int32_t* cdf_lengths, const int32_t* offsets,
-                    int32_t* out) {
+// Channel-aligned stream (payload tag 0x03): the stream codes ONE channel,
+// writing symbols at out[(j*L + t) * C + c] (tensor pixel-major order).
+int decode_stream16ca(const StreamSpan& sp, const uint32_t* cdf,
+                      int32_t cdf_len, int32_t offset, int64_t out_start,
+                      int64_t out_stride, int32_t* out) {
   if (sp.n_words < 2) return -10;
   uint32_t state = (static_cast<uint32_t>(sp.words[0]) << 16) | sp.words[1];
   int64_t pos = 2;
   for (int64_t t = 0; t < sp.count; ++t) {
-    const int32_t c = indexes[sp.base + t];
-    const uint32_t* cdf = cdfs + c * cdf_stride;
-    const int32_t cdf_len = cdf_lengths[c];
     const uint32_t cum = state & 0xffffu;
     int32_t s = 0;
     while (s + 1 < cdf_len - 1 && cdf[s + 1] <= cum) ++s;
@@ -248,7 +247,7 @@ int decode_stream16(const StreamSpan& sp, const int32_t* indexes,
       state = (state << 16) | sp.words[pos++];
     }
     if (s == cdf_len - 2) return -12;  // escape: not valid in chunked streams
-    out[sp.base + t] = s + offsets[c];
+    out[out_start + t * out_stride] = s + offset;
   }
   return 0;
 }
@@ -257,14 +256,17 @@ int decode_stream16(const StreamSpan& sp, const int32_t* indexes,
 
 extern "C" {
 
-// Decode a chunked rANS16 payload (starting at the 0x02 tag byte).
-// Returns 0 on success; negative on malformed input or escapes.
-int64_t rdvc_rans16_decode(const uint8_t* payload, int64_t payload_len,
-                           const int32_t* indexes, int64_t n_symbols,
-                           const uint32_t* cdfs, int64_t cdf_stride,
-                           const int32_t* cdf_lengths, const int32_t* offsets,
-                           int32_t* out, int32_t num_threads) {
-  if (payload_len < 11 || payload[0] != 0x02) return -20;
+// Decode a CHANNEL-ALIGNED chunked rANS16 payload (tag 0x03; executable
+// spec: decode_chunked_ca_py in entropy/device_rans.py). Stream s codes
+// channel s / K (K = S / channels) over pixels [(s%K)*L, ...); output is
+// written in tensor (pixel-major, channel-minor) order.
+int64_t rdvc_rans16ca_decode(const uint8_t* payload, int64_t payload_len,
+                             int64_t n_symbols, int32_t channels,
+                             const uint32_t* cdfs, int64_t cdf_stride,
+                             const int32_t* cdf_lengths,
+                             const int32_t* offsets, int32_t* out,
+                             int32_t num_threads) {
+  if (payload_len < 11 || payload[0] != 0x03) return -20;
   uint32_t n = 0;
   std::memcpy(&n, payload + 1, 4);
   uint16_t S = 0;
@@ -272,7 +274,10 @@ int64_t rdvc_rans16_decode(const uint8_t* payload, int64_t payload_len,
   uint32_t L32 = 0;
   std::memcpy(&L32, payload + 7, 4);
   if (static_cast<int64_t>(n) != n_symbols || S == 0 || L32 == 0) return -21;
-  const int64_t L = L32;  // per-stream symbol count (from the header)
+  if (channels <= 0 || S % channels || n_symbols % channels) return -24;
+  const int64_t L = L32;
+  const int64_t K = S / channels;
+  const int64_t hw = n_symbols / channels;
   int64_t off = 11 + 4ll * S;
   if (off > payload_len) return -22;
   std::vector<StreamSpan> spans(S);
@@ -282,9 +287,10 @@ int64_t rdvc_rans16_decode(const uint8_t* payload, int64_t payload_len,
     if (off + len > payload_len || (len & 1)) return -23;
     spans[s].words = reinterpret_cast<const uint16_t*>(payload + off);
     spans[s].n_words = len / 2;
-    spans[s].base = static_cast<int64_t>(s) * L;
-    spans[s].count =
-        std::max<int64_t>(0, std::min<int64_t>(L, n_symbols - spans[s].base));
+    const int64_t j = s % K;
+    spans[s].base = j * L;  // first pixel for this stream
+    spans[s].count = std::max<int64_t>(
+        0, std::min<int64_t>(L, hw - j * L));
     off += len;
   }
 
@@ -295,8 +301,10 @@ int64_t rdvc_rans16_decode(const uint8_t* payload, int64_t payload_len,
     while (true) {
       const int s = next.fetch_add(1);
       if (s >= S || status.load() != 0) return;
-      const int rc = decode_stream16(spans[s], indexes, cdfs, cdf_stride,
-                                     cdf_lengths, offsets, out);
+      const int32_t c = static_cast<int32_t>(s / K);
+      const int rc = decode_stream16ca(
+          spans[s], cdfs + c * cdf_stride, cdf_lengths[c], offsets[c],
+          spans[s].base * channels + c, channels, out);
       if (rc != 0) status.store(rc);
     }
   };

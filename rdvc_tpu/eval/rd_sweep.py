@@ -60,3 +60,79 @@ def run_rd_sweep(
             plot_path,
         )
     return results
+
+
+def main(argv=None) -> int:
+    """CLI: RD sweep over the reference's height ladder.
+
+    With --synthetic, generates a held-out procedural 1080p clip (distinct
+    seed from bench.py/training) so the loop runs without external data.
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="rdvc_tpu RD sweep")
+    p.add_argument("--yuv", type=str, default=None)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--heights", type=int, nargs="*",
+                   default=list(REFERENCE_HEIGHTS))
+    p.add_argument("--out", type=str, default=None, help="JSON output path")
+    p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--name", type=str, default="synthetic")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    import tempfile
+
+    import numpy as np
+
+    from rdvc_tpu.io.yuv import write_yuv420p_frames
+
+    base = CodecConfig()
+    if args.checkpoint:
+        base.codec_checkpoint_path = args.checkpoint
+    with tempfile.TemporaryDirectory() as td:
+        if args.synthetic:
+            import os
+
+            h, w = args.height, args.width
+            ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+            frames = []
+            for t in range(args.frames):
+                img = np.stack([
+                    127 + 90 * np.sin(xs / 23.0 + t * 0.37)
+                    * np.cos(ys / 41.0 + 0.8),
+                    127 + 90 * np.cos(xs / 53.0 + ys / 31.0 + t * 0.23),
+                    127 + 90 * np.sin((xs - ys) / 37.0 - t * 0.15),
+                ], -1)
+                frames.append(np.clip(img, 0, 255).astype(np.uint8))
+            yuv = os.path.join(td, "heldout.yuv")
+            write_yuv420p_frames(yuv, frames)
+        else:
+            if not args.yuv:
+                raise SystemExit("--yuv or --synthetic required")
+            yuv = args.yuv
+        results = run_rd_sweep(
+            yuv, args.width, args.height, num_frames=args.frames,
+            base_config=base, plot_path=args.plot, video_name=args.name,
+        )
+    slim = [
+        {k: r[k] for k in (
+            "compress_height", "psnr_avg_db", "ms_ssim_avg", "bpp",
+            "bitrate_kbps", "encode_fps", "decode_fps",
+        )}
+        for r in results
+    ]
+    print(json.dumps(slim, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -397,9 +397,9 @@ class CodecRuntime:
         (the upload pipe runs at tens of MB/s — raw symbols are ~100x the
         bytes). Raises ValueError on non-chunked payloads; callers fall back
         to the host coder + symbol upload for those."""
-        from rdvc_tpu.entropy.device_rans import CHUNKED_TAG
+        from rdvc_tpu.entropy.device_rans import CA_TAG
 
-        if any(not p or p[0] != CHUNKED_TAG for p in payloads):
+        if any(not p or p[0] != CA_TAG for p in payloads):
             raise ValueError("non-chunked payload; host decode required")
         if which == "motion":
             dec, tables = self._device_decoders[0], self.motion_tables

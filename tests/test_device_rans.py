@@ -13,12 +13,16 @@ import pytest
 from rdvc_tpu.entropy import FactorizedEntropyBottleneck, build_cdf_tables
 from rdvc_tpu.entropy.device_rans import (
     DeviceRansEncoder,
-    decode_chunked_py,
+    decode_chunked_ca_py,
     parse_chunked_header,
-    CHUNKED_TAG,
+    CA_TAG,
 )
 from rdvc_tpu.entropy.rans import native_available
-from rdvc_tpu.entropy.rans.coder import _channel_indexes, decode_chunked, decode_payload
+from rdvc_tpu.entropy.rans.coder import (
+    _channel_indexes,
+    decode_chunked_ca,
+    decode_payload,
+)
 
 
 def _tables(channels=8, seed=0):
@@ -48,9 +52,8 @@ def test_device_encode_py_decode_roundtrip():
     sym = _in_range_symbols(tables, (6, 10, 8), seed=1)
     enc = DeviceRansEncoder(tables, num_streams=16)
     payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
-    assert payload is not None and payload[0] == CHUNKED_TAG
-    idx = _channel_indexes((6, 10), 8)
-    out = decode_chunked_py(payload, idx, tables)
+    assert payload is not None and payload[0] == CA_TAG
+    out = decode_chunked_ca_py(payload, tables)
     np.testing.assert_array_equal(out, sym.ravel())
 
 
@@ -62,12 +65,14 @@ def test_device_encode_cpp_decode_roundtrip():
     enc = DeviceRansEncoder(tables, num_streams=32)
     payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
     assert payload is not None
-    idx = _channel_indexes((12, 20), 8)
-    out = decode_chunked(payload, idx, tables, num_threads=4)
+    n = 12 * 20 * 8
+    out = decode_chunked_ca(payload, n, tables, num_threads=4)
     np.testing.assert_array_equal(out, sym.ravel())
     # single-thread path must agree
-    out1 = decode_chunked(payload, idx, tables, num_threads=1)
+    out1 = decode_chunked_ca(payload, n, tables, num_threads=1)
     np.testing.assert_array_equal(out1, sym.ravel())
+    # C++ must be byte-identical to the Python executable spec output
+    np.testing.assert_array_equal(out, decode_chunked_ca_py(payload, tables))
 
 
 def test_escape_triggers_fallback():
@@ -156,8 +161,7 @@ def test_device_decoder_matches_python_spec():
     sym = _in_range_symbols(tables, (9, 7, 5), seed=12)
     payload = enc.assemble(*enc.encode_device(jnp.asarray(sym)))
     assert payload is not None
-    idx = _channel_indexes((9, 7), 5)
-    want = decode_chunked_py(payload, idx, tables)
+    want = decode_chunked_ca_py(payload, tables)
     got = np.asarray(DeviceRansDecoder(tables).decode_device([payload]))[0]
     np.testing.assert_array_equal(got, want)
 
