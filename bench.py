@@ -26,19 +26,26 @@ import numpy as np
 BASELINE_COMBINED_FPS = 1.0 / (1.10 + 1.42)
 
 
-def synth_frames(n, h, w, seed=0):
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+def synth_frames(n, h, w, seed=0, step=(3, 2)):
+    """Translating crops of a fixed multi-frequency base: COHERENT global
+    motion that a motion estimator can track — the regime the reference's
+    speed numbers were measured in (real video). Per-frame phase shimmer
+    has no consistent flow, blows up the residual entropy, and turns the
+    bench into an escape-path stress test instead of a codec benchmark."""
+    dy, dx = step
+    ys, xs = np.mgrid[0 : h + dy * n, 0 : w + dx * n].astype(np.float32)
+    base = np.stack(
+        [
+            127 + 100 * np.sin(xs / 37.0 + seed) * np.cos(ys / 53.0),
+            127 + 100 * np.cos(xs / 61.0 + ys / 29.0 - seed),
+            127 + 100 * np.sin((xs + ys) / 47.0),
+        ],
+        axis=-1,
+    )
     frames = []
     for t in range(n):
-        img = np.stack(
-            [
-                127 + 100 * np.sin(xs / 37.0 + t * 0.3) * np.cos(ys / 53.0),
-                127 + 100 * np.cos(xs / 61.0 + ys / 29.0 - t * 0.2),
-                127 + 100 * np.sin((xs + ys) / 47.0 + t * 0.1),
-            ],
-            axis=-1,
-        )
-        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+        crop = base[dy * t : dy * t + h, dx * t : dx * t + w]
+        frames.append(np.clip(crop, 0, 255).astype(np.uint8))
     return frames
 
 

@@ -100,6 +100,32 @@ def read_yuv420p_frames(
             n += 1
 
 
+def read_yuv420p_raw(
+    path: str,
+    width: int,
+    height: int,
+    max_frames: Optional[int] = None,
+) -> Iterator[np.ndarray]:
+    """Yield raw (H*3/2, W) uint8 I420 planes from a raw yuv420p file —
+    the upload-lean source for the device encode path (1.5 B/px instead of
+    the 3 B/px RGB conversion)."""
+    if width % 2 or height % 2:
+        raise ValueError(
+            f"YUV420p requires even dimensions, got {width}x{height}"
+        )
+    fsize = _frame_size_bytes(width, height)
+    n = 0
+    with open(path, "rb") as f:
+        while max_frames is None or n < max_frames:
+            data = f.read(fsize)
+            if len(data) < fsize:
+                return
+            yield np.frombuffer(data, np.uint8).reshape(
+                height * 3 // 2, width
+            ).copy()
+            n += 1
+
+
 def write_yuv420p_frames(path: str, frames) -> int:
     """Write an iterable of (H, W, 3) uint8 RGB frames as raw yuv420p."""
     n = 0

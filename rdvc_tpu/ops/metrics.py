@@ -45,14 +45,19 @@ def _filter2d_separable(x: jax.Array, kernel_1d: jax.Array) -> jax.Array:
     kh = jnp.tile(kernel_1d.reshape(k, 1, 1, 1), (1, 1, 1, C))
     kw = jnp.tile(kernel_1d.reshape(1, k, 1, 1), (1, 1, 1, C))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    # HIGHEST precision: TPU convs default to bf16 multiplies, which puts
+    # ~1e-2 error into the SSIM moment maps (observed MS-SSIM > 1.0 at
+    # 1080p). Metrics must be exact; their speed is irrelevant.
     y = jax.lax.conv_general_dilated(
         x, kh.astype(x.dtype), (1, 1), "VALID",
         dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dn2 = jax.lax.conv_dimension_numbers(y.shape, kw.shape, ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
         y, kw.astype(y.dtype), (1, 1), "VALID",
         dimension_numbers=dn2, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

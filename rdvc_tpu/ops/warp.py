@@ -57,36 +57,34 @@ def bilinear_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
         # Degenerate spatial axes: flow is zeroed above, warp is identity.
         return image
 
-    # ONE windowed gather instead of four pointwise gathers (TPU gathers
-    # pay per-index; fetching the 2x2 tap block per pixel quarters the
-    # index count). The window origin is clamped so the slice stays in
-    # bounds; the local coordinate then lands in [0, 1] and reproduces
-    # border-clamp semantics exactly (at the border the blend weight hits
-    # exactly 0 or 1, selecting the duplicated tap).
-    sy = jnp.minimum(jnp.floor(ys).astype(jnp.int32), H - 2)
-    sx = jnp.minimum(jnp.floor(xs).astype(jnp.int32), W - 2)
-    starts = jnp.stack(
-        [sy.reshape(B, H * W), sx.reshape(B, H * W)], axis=-1
-    )  # (B, N, 2)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    win = jax.lax.gather(
-        img, starts, dnums, slice_sizes=(1, 2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (B, N, 2, 2, C)
+    # Four pointwise flat gathers + blend. (A single (2,2)-windowed
+    # lax.gather would quarter the index count, but TPU layout tiling pads
+    # the tiny (2,2,C) trailing slice dims to (8,128) tiles — the fusion
+    # output balloons ~40x and OOMs at 1080p. The flat formulation keeps
+    # gather outputs (B, H*W, C), which tile cleanly.)
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = xs - x0
+    wy = ys - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
 
-    lx = (xs - sx.astype(jnp.float32)).reshape(B, H * W, 1)
-    ly = (ys - sy.astype(jnp.float32)).reshape(B, H * W, 1)
-    w00 = win[:, :, 0, 0]
-    w01 = win[:, :, 0, 1]
-    w10 = win[:, :, 1, 0]
-    w11 = win[:, :, 1, 1]
-    top = w00 + (w01 - w00) * lx
-    bot = w10 + (w11 - w10) * lx
-    out = (top + (bot - top) * ly).reshape(B, H, W, C)
+    flat = img.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        idx = (yi * W + xi).reshape(B, H * W, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(B, H, W, C)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    out = top + (bot - top) * wy
     return out.astype(orig_dtype)

@@ -220,6 +220,64 @@ class CodecRuntime:
             tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
         )
 
+    @staticmethod
+    def _i420_to_rgb_traced(planes):
+        """(B, H*3/2, W) uint8 I420 -> (B, H, W, 3) float RGB in [0, 255].
+
+        BT.601 full-range inverse of _rgb_to_i420_traced; chroma upsampled
+        by 2x2 replication (cv2 COLOR_YUV2RGB_I420 behavior)."""
+        B, H32, W = planes.shape
+        H = H32 * 2 // 3
+        y = planes[:, :H, :].astype(jnp.float32)
+        u = planes[:, H : H + H // 4, :].reshape(B, H // 2, W // 2)
+        v = planes[:, H + H // 4 :, :].reshape(B, H // 2, W // 2)
+        u = jnp.repeat(
+            jnp.repeat(u.astype(jnp.float32) - 128.0, 2, axis=1), 2, axis=2
+        )
+        v = jnp.repeat(
+            jnp.repeat(v.astype(jnp.float32) - 128.0, 2, axis=1), 2, axis=2
+        )
+        r = y + 1.402 * v
+        g = y - 0.344136 * u - 0.714136 * v
+        b = y + 1.772 * u
+        return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+    @functools.cached_property
+    def _fused_encode_chain_i420_fn(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("raft_hw", "comp_hw_flow", "comp_hw_res"),
+        )
+        def fn(
+            variables, raft_variables, chain_i420,
+            raft_hw, comp_hw_flow, comp_hw_res,
+        ):
+            # (B+1, H*3/2, W) raw I420 chain: half the upload bytes of RGB;
+            # color conversion happens on device.
+            rgb = self._i420_to_rgb_traced(chain_i420)
+            return self._encode_body(
+                variables, raft_variables, rgb[:-1], rgb[1:],
+                raft_hw, comp_hw_flow, comp_hw_res,
+            )
+
+        return fn
+
+    def encode_pframes_chain_i420(
+        self,
+        chain_i420,
+        raft_hw: Tuple[int, int],
+        comp_hw_flow: Tuple[int, int],
+        comp_hw_res: Tuple[int, int],
+    ):
+        """Chain-batched P-frame encode from raw I420 planes
+        ((B+1, H*3/2, W) uint8): halves the upload again vs the RGB chain."""
+        if not hasattr(self, "_raft_model"):
+            raise RuntimeError("attach_raft() first")
+        return self._fused_encode_chain_i420_fn(
+            self.variables, self._raft_variables, jnp.asarray(chain_i420),
+            tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+        )
+
     @functools.cached_property
     def _fused_encode_chain_fn(self):
         @functools.partial(

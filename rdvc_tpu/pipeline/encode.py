@@ -108,6 +108,26 @@ def encode_video(
             raft_iters=config.raft_iters,
             raft_checkpoint_path=config.raft_checkpoint_path,
         )
+    # Upload-lean source: for raw YUV inputs the fused path uploads I420
+    # planes (1.5 B/px) and color-converts on device; the host converts to
+    # RGB only at I-frames (JPEG). Host->device bandwidth is a first-order
+    # encode cost through the axon relay.
+    planes_mode = (
+        use_fused and Path(config.input_file_path).suffix.lower() == ".yuv"
+    )
+    if planes_mode:
+        from rdvc_tpu.io.yuv import read_yuv420p_raw, yuv420p_to_rgb
+
+        frames = read_yuv420p_raw(
+            config.input_file_path, width, height, max_frames
+        )
+
+        def to_rgb(fr):
+            return yuv420p_to_rgb(fr, width, height)
+    else:
+
+        def to_rgb(fr):
+            return fr
 
     writer = RdvcWriter(config.output_rdvc_file)
     rans_pool = ThreadPoolExecutor(max_workers=max(1, config.rans_threads))
@@ -176,18 +196,23 @@ def encode_video(
             if contiguous:
                 # Consecutive P-frames share boundary frames: upload the
                 # (B+1)-frame chain once and pair on device (half the
-                # host->device bytes of separate prev/cur stacks).
+                # host->device bytes of separate prev/cur stacks). In
+                # planes_mode the chain entries are raw I420 planes —
+                # another 2x fewer bytes, converted on device.
                 chain = np.stack(
                     [batch[0][1]]
                     + [b[2] for b in batch]
                     + [batch[-1][2]] * (B - len(batch))
                 )
-                m_sym, r_sym = runtime.encode_pframes_chain(
-                    chain, raft_hw, flow_hw, res_hw
+                enc_chain = (
+                    runtime.encode_pframes_chain_i420
+                    if planes_mode
+                    else runtime.encode_pframes_chain
                 )
+                m_sym, r_sym = enc_chain(chain, raft_hw, flow_hw, res_hw)
             else:
-                prevs = np.stack([b[1] for b in batch])
-                curs = np.stack([b[2] for b in batch])
+                prevs = np.stack([to_rgb(b[1]) for b in batch])
+                curs = np.stack([to_rgb(b[2]) for b in batch])
                 if prevs.shape[0] < B:
                     reps = B - prevs.shape[0]
                     prevs = np.concatenate(
@@ -230,7 +255,7 @@ def encode_video(
                 flush_pending_single()
             with timer.span("iframe_jpeg"):
                 writer.add_iframe(
-                    idx, encode_jpeg(rgb, config.iframe_jpeg_quality)
+                    idx, encode_jpeg(to_rgb(rgb), config.iframe_jpeg_quality)
                 )
             prev_rgb = rgb
             if not use_fused:

@@ -71,10 +71,10 @@ def load_checkpoint(path: str, template: Dict[str, Any]):
     # Restore the template's dtypes (storage may be reduced precision).
     import jax
 
+    # NOTE: read .dtype directly — np.asarray on a template leaf would pull
+    # every device array back to the host (slow and flaky over the relay).
     variables = jax.tree_util.tree_map(
-        lambda stored, tmpl: np.asarray(stored).astype(
-            np.asarray(tmpl).dtype
-        )
+        lambda stored, tmpl: np.asarray(stored).astype(tmpl.dtype)
         if hasattr(tmpl, "dtype")
         else stored,
         variables,
