@@ -27,26 +27,11 @@ BASELINE_COMBINED_FPS = 1.0 / (1.10 + 1.42)
 
 
 def synth_frames(n, h, w, seed=0, step=(3, 2)):
-    """Translating crops of a fixed multi-frequency base: COHERENT global
-    motion that a motion estimator can track — the regime the reference's
-    speed numbers were measured in (real video). Per-frame phase shimmer
-    has no consistent flow, blows up the residual entropy, and turns the
-    bench into an escape-path stress test instead of a codec benchmark."""
-    dy, dx = step
-    ys, xs = np.mgrid[0 : h + dy * n, 0 : w + dx * n].astype(np.float32)
-    base = np.stack(
-        [
-            127 + 100 * np.sin(xs / 37.0 + seed) * np.cos(ys / 53.0),
-            127 + 100 * np.cos(xs / 61.0 + ys / 29.0 - seed),
-            127 + 100 * np.sin((xs + ys) / 47.0),
-        ],
-        axis=-1,
-    )
-    frames = []
-    for t in range(n):
-        crop = base[dy * t : dy * t + h, dx * t : dx * t + w]
-        frames.append(np.clip(crop, 0, 255).astype(np.uint8))
-    return frames
+    """Coherent-motion clip (the regime the reference's speed numbers were
+    measured in); shared generator in rdvc_tpu.eval.clips."""
+    from rdvc_tpu.eval.clips import coherent_clip
+
+    return coherent_clip(n, h, w, seed=seed, step=step)
 
 
 def main():
@@ -144,11 +129,36 @@ def main():
         encode_video(warm, runtime=runtime, max_frames=3)
         decode_video(warm, runtime=runtime)
 
+        # Optional jax.profiler capture of the timed section (SURVEY §5):
+        # RDVC_TRACE_DIR=/path python bench.py  -> TensorBoard trace.
+        trace_dir = os.environ.get("RDVC_TRACE_DIR")
+        if trace_dir:
+            jax.profiler.start_trace(trace_dir)
         t0 = time.perf_counter()
         enc = encode_video(config, runtime=runtime, max_frames=n_frames)
         t1 = time.perf_counter()
         dec = decode_video(config, runtime=runtime)
         t2 = time.perf_counter()
+        if trace_dir:
+            jax.profiler.stop_trace()
+
+        # Device-compute isolation + MFU (wall spans conflate relay queue
+        # wait; see eval/device_profile.py).
+        from rdvc_tpu.eval.device_profile import (
+            quick_device_profile,
+            wall_accounting,
+        )
+
+        frames_prof = synth_frames(9, h, w, seed=0)
+        profile = quick_device_profile(
+            runtime, runner.variables, frames_prof,
+            (config.raft_resize_height, config.raft_resize_width),
+            (1080, 1920), h, w,
+            gop_rows=config.decode_gop_batch, batch=config.encode_batch_size,
+        )
+        accounting = wall_accounting(
+            profile, n_frames, t1 - t0, t2 - t1, h, w
+        )
 
     def _stage_ms(summary):
         return {
@@ -174,6 +184,8 @@ def main():
             ),
             "encode_stage_ms": _stage_ms(enc["timings"]),
             "decode_stage_ms": _stage_ms(dec["timings"]),
+            "device_profile": profile,
+            "wall_accounting": accounting,
         },
     }
     try:

@@ -48,6 +48,20 @@ SINGLE_TAG = 0x01
 DEFAULT_STREAMS = 4096
 
 
+def ca_streams(channels: int, target_streams: int = DEFAULT_STREAMS):
+    """(K streams per channel, S total streams) for the channel-aligned
+    layout — the single source of truth used by DeviceRansEncoder."""
+    K = max(1, round(target_streams / channels))
+    return K, K * channels
+
+
+def ca_stream_len(hw: int, K: int) -> int:
+    """Per-stream symbol capacity L (unroll-padded) — the single source of
+    truth used by the encode kernel; decoders read L from the header."""
+    L = -(-hw // K)
+    return -(-L // _UNROLL) * _UNROLL
+
+
 def ca_layout(channels: int, hw: int, target_streams: int = DEFAULT_STREAMS):
     """Channel-aligned stream layout: every stream codes exactly ONE
     channel, so the (data-dependent) CDF table lookup inside the kernels
@@ -58,10 +72,8 @@ def ca_layout(channels: int, hw: int, target_streams: int = DEFAULT_STREAMS):
     symbol capacity (unroll-padded). Stream s codes channel s // K, pixels
     [(s % K) * L, min((s % K + 1) * L, hw)).
     """
-    K = max(1, round(target_streams / channels))
-    L = -(-hw // K)
-    L = -(-L // _UNROLL) * _UNROLL
-    return K, K * channels, L
+    K, S = ca_streams(channels, target_streams)
+    return K, S, ca_stream_len(hw, K)
 
 
 def _pad_to_streams(n: int, num_streams: int) -> Tuple[int, int]:
@@ -111,7 +123,7 @@ def _encode_ca_batch_kernel(
     """
     Bb, hw_in, C = symbols.shape
     S, M = start_rows.shape
-    L = (-(-hw // K) + _UNROLL - 1) // _UNROLL * _UNROLL
+    L = ca_stream_len(hw, K)
     # (B, hw, C) -> (B, C, K, L) -> (B, S, L): stream s = c * K + j.
     pad = K * L - hw
     grid = jnp.pad(
@@ -210,8 +222,7 @@ class DeviceRansEncoder:
         cdf = np.asarray(tables.quantized_cdf, np.uint32)
         C, M = cdf.shape
         self.channels = C
-        self.K = max(1, round(num_streams / C))
-        self.num_streams = self.K * C
+        self.K, self.num_streams = ca_streams(C, num_streams)
         # Per-STREAM constant table rows (stream s codes channel s // K).
         c_of_s = np.arange(self.num_streams) // self.K
         start = cdf[c_of_s]                        # (S, M)
@@ -332,13 +343,11 @@ def _decode_ca_batch_kernel(
     """
     Bb, Wmax, S = grids.shape
     C = S // K
-    flat = grids.reshape(Bb, Wmax * S)
-    state = (grids[:, 0, :].astype(jnp.uint32) << 16) | grids[
-        :, 1, :
-    ].astype(jnp.uint32)                       # (B, S)
+    grids_u = grids.astype(jnp.uint32)          # (B, Wmax, S)
+    state = grids_u[:, 0, :] << 16 | grids_u[:, 1, :]  # (B, S)
     pos = jnp.full((Bb, S), 2, jnp.int32)
     rows_u = cdf_rows.astype(jnp.uint32)[None]  # (1, S, M)
-    lane = jnp.arange(S, dtype=jnp.int32)[None, :]
+    row_ids = jnp.arange(Wmax, dtype=jnp.int32)[None, :, None]  # (1,Wmax,1)
 
     def one(carry, t):
         state, pos = carry
@@ -361,9 +370,14 @@ def _decode_ca_batch_kernel(
         freq = nxt - start
         state = freq * (state >> 16) + cum - start
         need = state < RANS16_L
-        word = jnp.take_along_axis(flat, pos * S + lane, axis=1).astype(
-            jnp.uint32
-        )
+        # Word fetch WITHOUT a gather: per-stream read pointers advance
+        # monotonically, and TPU gathers serialize per index (the fetch was
+        # ~80% of this kernel's time) — a one-hot comparison-sum over the
+        # grid rows is pure VPU work.
+        word = jnp.sum(
+            jnp.where(row_ids == pos[:, None, :], grids_u, 0),
+            axis=1, dtype=jnp.uint32,
+        )                                          # (B, S)
         state = jnp.where(need, (state << 16) | word, state)
         pos = pos + need.astype(jnp.int32)
         return (state, pos), sidx
@@ -393,6 +407,8 @@ class DeviceRansDecoder:
     def __init__(self, tables: CdfTables):
         self.tables = tables
         self._C = tables.quantized_cdf.shape[0]
+        self._rows_cache = {}  # S -> (rows, offs, K); per-instance, so the
+        # decoder (and its device CDF rows) can be garbage-collected
 
     def prepare_grids(self, payloads: List[bytes]):
         """Parse + pack chunked payloads into one (B, Wmax, S) uint16 grid
@@ -423,11 +439,12 @@ class DeviceRansDecoder:
             grid[b] = buf.T
         return grid, n_symbols, L
 
-    @functools.lru_cache(maxsize=4)
     def _ca_rows(self, S: int):
         """Per-stream CDF rows for the channel-aligned layout, padded with
         2^16 beyond each channel's cdf_length so dead entries never match
         the comparison-sum symbol search."""
+        if S in self._rows_cache:
+            return self._rows_cache[S]
         cdf = np.asarray(self.tables.quantized_cdf, np.int64)
         C, M = cdf.shape
         K = S // C
@@ -436,11 +453,13 @@ class DeviceRansDecoder:
             cl = int(self.tables.cdf_length[c])
             rows[c, :cl] = cdf[c, :cl]
         c_of_s = np.arange(S) // K
-        return (
+        out = (
             jnp.asarray(rows[c_of_s], jnp.uint32),
             jnp.asarray(self.tables.offset[c_of_s], jnp.int32),
             K,
         )
+        self._rows_cache[S] = out
+        return out
 
     def decode_device(self, payloads: List[bytes]) -> jax.Array:
         """[channel-aligned payloads] -> (B, n_symbols) int32 device

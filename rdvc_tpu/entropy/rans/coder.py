@@ -337,6 +337,12 @@ def decode_payload(
         return decode_chunked_ca(
             payload, indexes.shape[0], tables, num_threads
         )
+    if tag == 0x02:
+        raise ValueError(
+            "payload tag 0x02 (pre-channel-aligned chunked rANS16) is no "
+            "longer supported; bitstreams written before the 0x03 format "
+            "switch must be re-encoded"
+        )
     raise ValueError(f"unknown payload tag {tag}")
 
 

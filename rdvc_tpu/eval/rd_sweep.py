@@ -76,6 +76,11 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument(
+        "--stress", action="store_true",
+        help="with --synthetic: per-frame phase shimmer (no coherent flow) "
+        "— an entropy-coder stress clip, NOT a codec benchmark",
+    )
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--heights", type=int, nargs="*",
@@ -88,8 +93,6 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     import tempfile
 
-    import numpy as np
-
     from rdvc_tpu.io.yuv import write_yuv420p_frames
 
     base = CodecConfig()
@@ -99,17 +102,14 @@ def main(argv=None) -> int:
         if args.synthetic:
             import os
 
+            from rdvc_tpu.eval.clips import coherent_clip, shimmer_clip
+
             h, w = args.height, args.width
-            ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-            frames = []
-            for t in range(args.frames):
-                img = np.stack([
-                    127 + 90 * np.sin(xs / 23.0 + t * 0.37)
-                    * np.cos(ys / 41.0 + 0.8),
-                    127 + 90 * np.cos(xs / 53.0 + ys / 31.0 + t * 0.23),
-                    127 + 90 * np.sin((xs - ys) / 37.0 - t * 0.15),
-                ], -1)
-                frames.append(np.clip(img, 0, 255).astype(np.uint8))
+            # Held-out seed (distinct from bench.py seed=0 / training data).
+            if args.stress:
+                frames = shimmer_clip(args.frames, h, w, seed=11)
+            else:
+                frames = coherent_clip(args.frames, h, w, seed=11)
             yuv = os.path.join(td, "heldout.yuv")
             write_yuv420p_frames(yuv, frames)
         else:

@@ -80,6 +80,14 @@ def run_uvg_benchmark(
         psnrs.append(float(psnr(a, b)[0]))
         if min(height, width) > 160:
             msssims.append(float(ms_ssim(a, b)[0]))
+    if not msssims and min(height, width) <= 160:
+        # MS-SSIM's 5-scale pyramid needs min(H, W) > 160 (each scale
+        # halves the image; the 11-tap SSIM window must still fit at the
+        # coarsest scale) — report None rather than a bogus number.
+        log.info(
+            "MS-SSIM skipped: min(H, W)=%d <= 160 (5-scale pyramid needs "
+            "larger frames)", min(height, width),
+        )
     bpp = file_bytes * 8.0 / (n * width * height)
     return {
         "num_frames": n,

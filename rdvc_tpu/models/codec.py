@@ -154,16 +154,6 @@ class VideoCodec(nn.Module):
     def analyze_residual(self, residual: jax.Array) -> jax.Array:
         return self.residual_encoder(residual, train=False)
 
-    def quantize_motion(self, latents: jax.Array) -> jax.Array:
-        """Round-to-median quantization (what the rANS round-trip produces);
-        lets the encoder pipeline reconstruct without re-running the coder."""
-        q, _ = self.motion_entropy_bottleneck(latents, train=False)
-        return q
-
-    def quantize_residual(self, latents: jax.Array) -> jax.Array:
-        q, _ = self.residual_entropy_bottleneck(latents, train=False)
-        return q
-
     def synthesize_flow(self, q_motion: jax.Array) -> jax.Array:
         return self.motion_decoder(q_motion, train=False)
 

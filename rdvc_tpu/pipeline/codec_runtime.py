@@ -450,8 +450,8 @@ class CodecRuntime:
         )
 
     def decode_payloads_device(self, payloads, which: str, shape_hw):
-        """Chunked (tag 0x02) payloads -> (B, h, w, C) int16 symbols ON
-        DEVICE: the host uploads only compressed words, never raw symbols
+        """Channel-aligned (tag 0x03) payloads -> (B, h, w, C) int16 symbols
+        ON DEVICE: the host uploads only compressed words, never raw symbols
         (the upload pipe runs at tens of MB/s — raw symbols are ~100x the
         bytes). Raises ValueError on non-chunked payloads; callers fall back
         to the host coder + symbol upload for those."""

@@ -163,61 +163,26 @@ def decode_video(
 
     emit_kind = "i420" if use_i420 else "rgb"
     try:
-        # Read all records up front (payload bytes are small) so symbol
-        # production for upcoming frames overlaps the device recurrence.
-        with timer.span("container_read"):
-            records = list(reader.frames())
-        rans_futs = _prefetch_symbols(runtime, records, pool, timer)
-        for i, rec in enumerate(records):
-            if rec.frame_type == "I":
-                with timer.span("iframe_decode"):
-                    _, img_bytes = unpack_iframe_payload(rec.payload)
-                    rgb = decode_jpeg(img_bytes)
-                    frame = jnp.asarray(rgb[None].astype(np.float32) / 255.0)
-                ref_raw = frame
-                latest_iframe = frame
-                post = frame
-                if prev_post is not None and float(iir_alpha) > 0:
-                    post = temporal_iir_filter(post, prev_post, iir_alpha)
-                if pending_u8 is not None:
-                    emit(pending_u8, emit_kind)
-                nxt = (
-                    runtime.to_i420(post)[0]
-                    if use_i420
-                    else jnp.clip(post[0] * 255.0 + 0.5, 0, 255).astype(
-                        jnp.uint8
-                    )
+        # Read records in bounded windows (a few prefetch groups) so symbol
+        # production for upcoming frames overlaps the device recurrence
+        # without materializing every payload of a long video in host RAM.
+        import itertools
+
+        frame_iter = reader.frames()
+        while True:
+            with timer.span("container_read"):
+                records = list(
+                    itertools.islice(frame_iter, _READ_WINDOW)
                 )
-                pending_u8 = _start_host_copy(nxt)
-            else:
-                if ref_raw is None:
-                    log.warning("P-frame %d before any I-frame; skipped", rec.index)
-                    continue
-                with timer.span("rans_decode"):
-                    q_m, q_r = rans_futs.pop(i).result()
-                # One fused dispatch: reconstruct + LMR + hist-match + IIR
-                # + uint8 conversion (post-processing stays on device).
-                with timer.span("decode_dispatch"):
-                    raw, post, u8 = runtime.decode_pframe_fused(
-                        ref_raw, q_m, q_r,
-                        prev_post if prev_post is not None else ref_raw,
-                        latest_iframe if latest_iframe is not None else ref_raw,
-                        config.low_motion_replacement_threshold,
-                        config.temporal_filter_alpha,
-                        (height, width),
-                    )
-                    frame_dev = runtime.to_i420(post)[0] if use_i420 else u8[0]
-                if debug_on and rec.index % debug_every == 0:
-                    _dump_debug_frames(
-                        runtime, config, rec.index, ref_raw, q_m, q_r,
-                        (height, width), post,
-                    )
-                # Overlap: write the previous frame while this one computes.
-                if pending_u8 is not None:
-                    emit(pending_u8, emit_kind)
-                pending_u8 = _start_host_copy(frame_dev)
-                ref_raw = raw  # codec reference stays RAW
-            prev_post = post
+            if not records:
+                break
+            rans_futs = _prefetch_symbols(runtime, records, pool, timer)
+            ref_raw, prev_post, latest_iframe, pending_u8 = _decode_serial_window(
+                records, rans_futs, runtime, config, emit, timer,
+                height, width, use_i420, emit_kind, iir_alpha,
+                ref_raw, prev_post, latest_iframe, pending_u8,
+                debug_on, debug_every, _start_host_copy,
+            )
         if pending_u8 is not None:
             emit(pending_u8, emit_kind)
     finally:
@@ -232,6 +197,76 @@ def decode_video(
         "decoded_frames": frames_out,
         "timings": timer.summary(),
     }
+
+
+_READ_WINDOW = 128  # serial-path container read-ahead (bounds host RAM)
+
+
+def _decode_serial_window(
+    records, rans_futs, runtime, config, emit, timer, height, width,
+    use_i420, emit_kind, iir_alpha, ref_raw, prev_post, latest_iframe,
+    pending_u8, debug_on, debug_every, _start_host_copy,
+):
+    """One read-ahead window of the serial decode loop; returns the decoder
+    state threaded to the next window."""
+    post = prev_post
+    for i, rec in enumerate(records):
+        if rec.frame_type == "I":
+            with timer.span("iframe_decode"):
+                _, img_bytes = unpack_iframe_payload(rec.payload)
+                rgb = decode_jpeg(img_bytes)
+                frame = jnp.asarray(rgb[None].astype(np.float32) / 255.0)
+            ref_raw = frame
+            latest_iframe = frame
+            post = frame
+            if prev_post is not None and float(iir_alpha) > 0:
+                post = temporal_iir_filter(post, prev_post, iir_alpha)
+            if pending_u8 is not None:
+                emit(pending_u8, emit_kind)
+            nxt = (
+                runtime.to_i420(post)[0]
+                if use_i420
+                else jnp.clip(post[0] * 255.0 + 0.5, 0, 255).astype(
+                    jnp.uint8
+                )
+            )
+            pending_u8 = _start_host_copy(nxt)
+        else:
+            if ref_raw is None:
+                log.warning("P-frame %d before any I-frame; skipped", rec.index)
+                continue
+            with timer.span("rans_decode"):
+                q_m, q_r = rans_futs.pop(i).result()
+            # One fused dispatch: reconstruct + LMR + hist-match + IIR
+            # + uint8 conversion (post-processing stays on device).
+            with timer.span("decode_dispatch"):
+                raw, post, u8 = runtime.decode_pframe_fused(
+                    ref_raw, q_m, q_r,
+                    prev_post if prev_post is not None else ref_raw,
+                    latest_iframe if latest_iframe is not None else ref_raw,
+                    config.low_motion_replacement_threshold,
+                    config.temporal_filter_alpha,
+                    (height, width),
+                )
+                frame_dev = runtime.to_i420(post)[0] if use_i420 else u8[0]
+            if debug_on and rec.index % debug_every == 0:
+                _dump_debug_frames(
+                    runtime, config, rec.index, ref_raw, q_m, q_r,
+                    (height, width), post,
+                    prev_post=prev_post if prev_post is not None else ref_raw,
+                    iframe=(
+                        latest_iframe
+                        if latest_iframe is not None
+                        else ref_raw
+                    ),
+                )
+            # Overlap: write the previous frame while this one computes.
+            if pending_u8 is not None:
+                emit(pending_u8, emit_kind)
+            pending_u8 = _start_host_copy(frame_dev)
+            ref_raw = raw  # codec reference stays RAW
+        prev_post = post
+    return ref_raw, prev_post, latest_iframe, pending_u8
 
 
 class _Ready:
@@ -572,10 +607,14 @@ def _dump_debug_frames(
     q_r,
     target_hw,
     post,
+    prev_post=None,
+    iframe=None,
 ) -> None:
-    """Staged debug PNGs for one P-frame (reference decoder's per-N-frames
-    dumps: prev-ref, flow, warped, MC prediction, residual, raw recon,
-    final post-processed — codec_processing.py:1775-1926)."""
+    """Staged debug PNGs for one P-frame: all 9 stages of the reference
+    decoder's per-N-frames dumps — prev-ref, flow, warped, MC prediction,
+    residual, raw recon, LMR mask (codec_processing.py:1851-1882),
+    hist-matched stage (1884-1903), final post-processed
+    (codec_processing.py:1775-1926)."""
     import os
 
     from PIL import Image
@@ -609,4 +648,18 @@ def _dump_debug_frames(
     save("4_motion_compensated", out["motion_compensated"])
     save("5_residual", out["residual"] * 0.5 + 0.5)
     save("6_raw_recon", out["reconstructed"])
-    save("7_final_post", post)
+    # Stages 7-8 replay the post cascade at dump time (the fused decode
+    # kernel never materializes them separately).
+    thr = float(config.low_motion_replacement_threshold)
+    mask = np.logical_and(np.asarray(mag) < thr, thr > 0)
+    save("7_lmr_mask", mask.astype(np.float32))
+    if prev_post is not None and iframe is not None:
+        from rdvc_tpu.postproc import histogram_match_ycrcb
+
+        lmr_out = jnp.where(
+            jnp.asarray(mask)[..., None],
+            jnp.asarray(iframe),
+            out["reconstructed"],
+        )
+        save("8_hist_matched", histogram_match_ycrcb(lmr_out, jnp.asarray(prev_post)))
+    save("9_final_post", post)

@@ -25,6 +25,10 @@ def main(argv=None) -> int:
     p.add_argument("--flows", type=str, default=None, help="flow_base_dir")
     p.add_argument("--synthetic", action="store_true",
                    help="use the procedural dataset (smoke/no-data runs)")
+    p.add_argument("--synthetic_coherent", action="store_true",
+                   help="procedural mixture incl. coherent-translation "
+                   "pairs (the eval-clip content family; use for RD "
+                   "checkpoints)")
     p.add_argument("--synthetic_length", type=int, default=None,
                    help="pairs in the synthetic dataset (default 4*batch)")
     p.add_argument("--epochs", type=int, default=None)
@@ -85,10 +89,21 @@ def main(argv=None) -> int:
             logging.info("batch_size rounded to %d for %d devices",
                          cfg.batch_size, n_dev)
 
-    if args.synthetic:
+    if args.synthetic or args.synthetic_coherent:
         size = cfg.crop_size[0] if cfg.crop_size else 64
         length = args.synthetic_length or 4 * cfg.batch_size
-        dataset = SyntheticFlowPairDataset(size=size, length=length)
+        if args.synthetic_coherent:
+            from rdvc_tpu.train.data import (
+                CoherentCropDataset,
+                MixtureDataset,
+            )
+
+            dataset = MixtureDataset(
+                CoherentCropDataset(size=size, length=length // 2),
+                SyntheticFlowPairDataset(size=size, length=length // 2),
+            )
+        else:
+            dataset = SyntheticFlowPairDataset(size=size, length=length)
         cfg.real_bitstream_check_every = 0
     else:
         dataset = VimeoFlowPairDataset(

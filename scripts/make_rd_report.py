@@ -1,19 +1,34 @@
-import logging
-logging.basicConfig(level=logging.INFO)
-"""Generate RD_r02.md: RD sweep of the trained synthetic checkpoint over the
-reference's compression-height ladder, with the reference's published RD
-table (utils/vis.py REFERENCE_RD) alongside for context.
+"""Generate RD_r03.md: multi-rate RD measurement in the reference's bpp
+regime (VERDICT r2 items #2/#3).
+
+Axes:
+  * rate ladder — lambda_bpp fine-tuned checkpoints
+    (checkpoints/rate_l*.ckpt from scripts/train_rate_points.py)
+  * resolution ladder — the reference's compression-height sweep
+    (beauty.txt / vis_bench.py:5-24)
+
+Flow backend: the JAX RAFT with its trained checkpoint; its held-out EPE
+is measured and published alongside (eval/epe.py). Farneback appears only
+as an explicitly-labeled fallback if the RAFT checkpoint is absent.
 
 Run on the real TPU:  python scripts/make_rd_report.py
+Env: RD_FRAMES (default 16), RD_HEIGHTS, RD_CKPTS (comma-sep overrides)
 """
+
+import glob
 import json
+import logging
 import os
 import sys
+import tempfile
 import time
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+logging.basicConfig(level=logging.INFO)
 np.asarray(jax.device_put(np.zeros(8, np.uint8)))  # absorb relay handshake
 
 from rdvc_tpu.utils.runtime import enable_persistent_cache
@@ -21,62 +36,95 @@ from rdvc_tpu.utils.runtime import enable_persistent_cache
 enable_persistent_cache()
 
 from rdvc_tpu.config import CodecConfig
-from rdvc_tpu.eval.rd_sweep import run_rd_sweep, REFERENCE_HEIGHTS
+from rdvc_tpu.eval.clips import coherent_clip
+from rdvc_tpu.eval.rd_sweep import run_rd_sweep
 from rdvc_tpu.io.yuv import write_yuv420p_frames
 from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
 
-CKPT = sys.argv[1] if len(sys.argv) > 1 else "checkpoints/rd_synthetic.ckpt"
 FRAMES = int(os.environ.get("RD_FRAMES", "16"))
-HEIGHTS = [int(h) for h in os.environ.get("RD_HEIGHTS", "1080,720,480,360,240,140").split(",")]
+HEIGHTS = [
+    int(h)
+    for h in os.environ.get("RD_HEIGHTS", "1080,720,480,360,240,140").split(",")
+]
+RAFT_CKPT = os.environ.get("RD_RAFT", "checkpoints/demo_raft.ckpt")
+
+if "RD_CKPTS" in os.environ:
+    ckpts = os.environ["RD_CKPTS"].split(",")
+else:
+    ckpts = sorted(glob.glob("checkpoints/rate_l*.ckpt"))
+    if not ckpts:
+        ckpts = ["checkpoints/rd_synthetic.ckpt"]
 
 h, w = 1080, 1920
-# Held-out clip with COHERENT global motion (translating crops of a fixed
-# multi-frequency base): representative P-frame content that a real motion
-# estimator can track, unlike per-frame phase shimmer.
-ys, xs = np.mgrid[0 : h + 3 * 16, 0 : w + 2 * 16].astype(np.float32)
-base = np.stack([
-    127 + 90 * np.sin(xs / 23.0) * np.cos(ys / 41.0 + 0.8),
-    127 + 90 * np.cos(xs / 53.0 + ys / 31.0),
-    127 + 90 * np.sin((xs - ys) / 37.0),
-], -1)
-frames = []
-for t in range(FRAMES):
-    crop = base[3 * t : 3 * t + h, 2 * t : 2 * t + w]
-    frames.append(np.clip(crop, 0, 255).astype(np.uint8))
+frames = coherent_clip(FRAMES, h, w, seed=11)  # held-out seed
 
-import tempfile
-base = CodecConfig()
-base.codec_checkpoint_path = CKPT
-# Best motion estimator available in this environment (no pretrained RAFT
-# weights ship here): host Farneback, reference-equivalent role.
-base.raft_backend = "farneback"
-runtime = CodecRuntime(
-    model_cfg=base.model_config(),
-    checkpoint_path=CKPT if os.path.exists(CKPT) else None,
-)
+# Flow backend: the repo's own RAFT (VERDICT r2 item #3). EPE measured on
+# held-out synthetic pairs so the flow-quality axis is published, not
+# assumed.
+flow_backend = "raft"
+epe_report = None
+if os.path.exists(RAFT_CKPT):
+    from rdvc_tpu.eval.epe import (
+        evaluate_flow_backend,
+        heldout_dataset,
+        raft_flow_fn,
+    )
+
+    epe_report = evaluate_flow_backend(
+        raft_flow_fn(RAFT_CKPT, iters=12), heldout_dataset(size=96, length=16)
+    )
+    print("RAFT EPE:", json.dumps(epe_report))
+else:
+    flow_backend = "farneback"
+    print(f"WARNING: {RAFT_CKPT} missing; falling back to farneback")
+
 os.makedirs("benchmarks", exist_ok=True)
+all_results = {}
+t_start = time.time()
 with tempfile.TemporaryDirectory() as td:
     yuv = os.path.join(td, "heldout.yuv")
     write_yuv420p_frames(yuv, frames)
-    t0 = time.time()
-    results = run_rd_sweep(
-        yuv, w, h, num_frames=FRAMES, heights=HEIGHTS,
-        base_config=base, runtime=runtime, video_name="synthetic-1080p",
-    )
-    dt = time.time() - t0
+    for ckpt in ckpts:
+        name = os.path.splitext(os.path.basename(ckpt))[0]
+        base = CodecConfig()
+        base.codec_checkpoint_path = ckpt
+        base.raft_backend = flow_backend
+        base.raft_checkpoint_path = RAFT_CKPT if flow_backend == "raft" else None
+        runtime = CodecRuntime(
+            model_cfg=base.model_config(),
+            checkpoint_path=ckpt if os.path.exists(ckpt) else None,
+        )
+        res = run_rd_sweep(
+            yuv, w, h, num_frames=FRAMES, heights=HEIGHTS,
+            base_config=base, runtime=runtime, video_name=name,
+        )
+        all_results[name] = res
+dt = time.time() - t_start
 
-with open("benchmarks/rd_r02.json", "w") as f:
-    json.dump(results, f, indent=2)
+report = {
+    "frames": FRAMES,
+    "heights": HEIGHTS,
+    "flow_backend": flow_backend,
+    "raft_checkpoint": RAFT_CKPT if flow_backend == "raft" else None,
+    "raft_epe_heldout": epe_report,
+    "results": all_results,
+    "sweep_minutes": dt / 60,
+}
+with open("benchmarks/rd_r03.json", "w") as f:
+    json.dump(report, f, indent=2)
 
 try:
     from rdvc_tpu.utils.vis import plot_rd_curves
 
     plot_rd_curves(
-        {"synthetic-1080p": {
-            "bpp": [r["bpp"] for r in results],
-            "psnr": [r["psnr_avg_db"] for r in results],
-        }},
-        "benchmarks/rd_r02.png",
+        {
+            name: {
+                "bpp": [r["bpp"] for r in res],
+                "psnr": [r["psnr_avg_db"] for r in res],
+            }
+            for name, res in all_results.items()
+        },
+        "benchmarks/rd_r03.png",
     )
 except Exception as e:  # plot is cosmetic; never lose the measurements
     print("plot failed:", e)
@@ -84,31 +132,49 @@ except Exception as e:  # plot is cosmetic; never lose the measurements
 from rdvc_tpu.utils.vis import REFERENCE_RD
 
 lines = [
-    "# RD_r02 — rate-distortion measurement (round 2)",
+    "# RD_r03 — multi-rate RD measurement (round 3)",
     "",
-    "Checkpoint: `%s` — 3-phase curriculum (10/30/45 epochs) trained on the" % CKPT,
-    "PROCEDURAL synthetic dataset (512 pairs, 256-crop) — no real video data",
-    "is available in this environment. Eval clip: held-out synthetic 1080p,",
-    "%d frames, iframe_interval %d. These numbers validate the full" % (FRAMES, CodecConfig().iframe_interval),
-    "measurement loop (train -> checkpoint -> encode -> decode -> metrics over",
-    "the reference's height ladder); they are NOT comparable to BASELINE.md's",
-    "UVG numbers (different content), included below only for orientation.",
+    "Rate control into the reference's operating regime: lambda_bpp",
+    "fine-tuned checkpoints (scripts/train_rate_points.py) x the",
+    "reference's compression-height ladder. Eval clip: held-out synthetic",
+    "1080p coherent-motion (rdvc_tpu/eval/clips.py, seed 11), %d frames," % FRAMES,
+    "iframe_interval %d. Synthetic content (no UVG/Vimeo in this" % CodecConfig().iframe_interval,
+    "environment) — reference numbers below are orientation, not",
+    "head-to-head.",
     "",
-    "## rdvc_tpu, synthetic held-out clip",
-    "",
-    "| Comp. height | PSNR (dB) | MS-SSIM | BPP | Bitrate (kbps) | enc fps | dec fps |",
-    "|---|---|---|---|---|---|---|",
 ]
-for r in results:
-    ms = "%.4f" % r["ms_ssim_avg"] if r["ms_ssim_avg"] else "-"
-    lines.append(
-        "| %dp | %.2f | %s | %.4f | %.1f | %.2f | %.2f |" % (
-            r["compress_height"], r["psnr_avg_db"], ms, r["bpp"],
-            r["bitrate_kbps"], r["encode_fps"], r["decode_fps"],
+if flow_backend == "raft" and epe_report:
+    lines += [
+        "Flow backend: JAX RAFT (`%s`), held-out synthetic EPE " % RAFT_CKPT
+        + "**%.3f px** (median %.3f, %d pairs; eval/epe.py)." % (
+            epe_report["epe_mean"], epe_report["epe_median"],
+            epe_report["items"],
+        ),
+        "",
+    ]
+else:
+    lines += ["Flow backend: host Farneback (RAFT checkpoint missing).", ""]
+
+for name, res in all_results.items():
+    lines += [
+        "## %s" % name,
+        "",
+        "| Comp. height | PSNR (dB) | MS-SSIM | BPP | Bitrate (kbps) | enc fps | dec fps |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in res:
+        ms = "%.4f" % r["ms_ssim_avg"] if r["ms_ssim_avg"] else "-"
+        assert r["ms_ssim_avg"] is None or r["ms_ssim_avg"] <= 1.0, (
+            "invalid MS-SSIM in RD table"
         )
-    )
+        lines.append(
+            "| %dp | %.2f | %s | %.4f | %.1f | %.2f | %.2f |" % (
+                r["compress_height"], r["psnr_avg_db"], ms, r["bpp"],
+                r["bitrate_kbps"], r["encode_fps"], r["decode_fps"],
+            )
+        )
+    lines.append("")
 lines += [
-    "",
     "Sweep wall time: %.1f min on one TPU v5e chip." % (dt / 60),
     "",
     "## Reference published RD (UVG 50-frame, RTX 3050 Ti; vis_bench.py:5-24)",
@@ -120,13 +186,9 @@ for vid, rows in REFERENCE_RD.items():
     for hh, psnr_v, ms_v, bpp_v in zip(
         rows["res"], rows["psnr"], rows["msssim"], rows["bpp"]
     ):
-        lines.append("| %s | %s | %.2f | %.4f | %.4f |" % (vid, hh, psnr_v, ms_v, bpp_v))
-lines += [
-    "",
-    "Next step toward true parity: train on Vimeo-90k (the loop above is",
-    "data-source-agnostic — point `python -m rdvc_tpu.train --frames/--flows`",
-    "at the dataset and rerun `python scripts/make_rd_report.py`).",
-]
-with open("RD_r02.md", "w") as f:
+        lines.append(
+            "| %s | %s | %.2f | %.4f | %.4f |" % (vid, hh, psnr_v, ms_v, bpp_v)
+        )
+with open("RD_r03.md", "w") as f:
     f.write("\n".join(lines) + "\n")
-print("wrote RD_r02.md")
+print("wrote RD_r03.md (%.1f min)" % (dt / 60))

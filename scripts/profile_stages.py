@@ -1,0 +1,285 @@
+"""Isolated device-time profile of every codec stage (VERDICT r2 item #1).
+
+Runs each hot piece N times on the real TPU with a single few-byte fence
+(utils/profiling.py), so numbers are DEVICE compute — not relay queue wait
+— plus measured link bandwidth and host-coder time. Prints one JSON doc.
+
+Usage:  python scripts/profile_stages.py [out.json]
+Env:    PROF_B (encode batch, default 8), PROF_ITERS (default 3)
+"""
+
+import json
+import os
+import sys
+import time
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+np.asarray(jax.device_put(np.zeros(8, np.uint8)))  # absorb relay handshake
+
+from rdvc_tpu.utils.runtime import enable_persistent_cache
+
+enable_persistent_cache()
+
+from rdvc_tpu.config import CodecConfig
+from rdvc_tpu.eval.clips import coherent_clip
+from rdvc_tpu.io.yuv import rgb_to_yuv420p
+from rdvc_tpu.models.raft import RaftRunner
+from rdvc_tpu.ops.resize import resize_bilinear, resize_flow
+from rdvc_tpu.ops.warp import bilinear_warp
+from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+from rdvc_tpu.postproc import histogram_match_ycrcb
+from rdvc_tpu.utils.profiling import (
+    compiled_cost,
+    mfu,
+    time_device,
+    time_transfer_down,
+    time_transfer_up,
+)
+
+B = int(os.environ.get("PROF_B", "8"))
+ITERS = int(os.environ.get("PROF_ITERS", "3"))
+H, W = 1080, 1920
+RAFT_HW = (368, 640)
+COMP_HW = (1080, 1920)
+
+report = {"B": B, "iters": ITERS, "device": str(jax.devices()[0])}
+
+
+def log(k, v):
+    report[k] = v
+    print(f"{k}: {json.dumps(v)}", flush=True)
+
+
+ckpt = "checkpoints/demo_synthetic.ckpt"
+runtime = CodecRuntime(
+    model_cfg=CodecConfig().model_config(),
+    checkpoint_path=ckpt if os.path.exists(ckpt) else None,
+)
+runner = RaftRunner(iters=12, checkpoint_path="checkpoints/demo_raft.ckpt")
+runtime.attach_raft(runner.model, runner.variables)
+
+frames = coherent_clip(B + 1, H, W, seed=0)
+chain_i420 = np.stack([rgb_to_yuv420p(f) for f in frames])  # (B+1, H*1.5, W)
+chain_dev = jax.device_put(chain_i420)
+
+# ---------------- link bandwidth ----------------
+log("up_link", time_transfer_up(chain_i420))
+log("down_link", time_transfer_down(chain_dev))
+
+# ---------------- full fused encode ----------------
+enc_args = (
+    runtime.variables, runner.variables, chain_dev,
+    RAFT_HW, COMP_HW, COMP_HW,
+)
+enc_fn = runtime._fused_encode_chain_i420_fn
+m_sym, r_sym = enc_fn(*enc_args)
+t = time_device(lambda: enc_fn(*enc_args), ITERS)
+cost = compiled_cost(enc_fn, *enc_args)
+log("encode_chain", {
+    "s_per_dispatch": t, "ms_per_frame": t / B * 1e3,
+    "flops_per_frame": cost["flops"] / B, "bytes": cost["bytes"],
+    "mfu": mfu(cost["flops"], t),
+})
+
+# ---------------- encode sub-pieces ----------------
+rgb = runtime._i420_to_rgb_traced(jnp.asarray(chain_dev))
+prev_u8, cur_u8 = rgb[:-1], rgb[1:]
+prev = prev_u8.astype(jnp.float32) / 255.0
+cur = cur_u8.astype(jnp.float32) / 255.0
+
+
+@jax.jit
+def piece_pre(chain):
+    rgb = runtime._i420_to_rgb_traced(chain)
+    prev = rgb[:-1].astype(jnp.float32) / 255.0
+    cur = rgb[1:].astype(jnp.float32) / 255.0
+    return resize_bilinear(prev, RAFT_HW), resize_bilinear(cur, RAFT_HW)
+
+
+p_small, c_small = piece_pre(chain_dev)
+t = time_device(lambda: piece_pre(chain_dev), ITERS)
+c = compiled_cost(piece_pre, chain_dev)
+log("enc_pre_i420_resize", {"ms_per_frame": t / B * 1e3,
+                            "flops_per_frame": c["flops"] / B,
+                            "mfu": mfu(c["flops"], t)})
+
+
+@jax.jit
+def piece_raft(rv, a, b):
+    return runner.model.apply(rv, a, b, train=False)
+
+
+flow_small = piece_raft(runner.variables, p_small, c_small)
+t = time_device(lambda: piece_raft(runner.variables, p_small, c_small), ITERS)
+c = compiled_cost(piece_raft, runner.variables, p_small, c_small)
+log("enc_raft_368x640_12it", {"ms_per_frame": t / B * 1e3,
+                              "flops_per_frame": c["flops"] / B,
+                              "mfu": mfu(c["flops"], t)})
+
+flow_orig = resize_flow(flow_small, (H, W))
+
+
+@jax.jit
+def piece_warp_mcn(v, prev, flow):
+    warped = bilinear_warp(prev, flow)
+    pred = runtime._mc(v, warped, flow, prev)
+    return pred
+
+
+pred = piece_warp_mcn(runtime.variables, prev, flow_orig)
+t = time_device(
+    lambda: piece_warp_mcn(runtime.variables, prev, flow_orig), ITERS
+)
+c = compiled_cost(piece_warp_mcn, runtime.variables, prev, flow_orig)
+log("enc_warp_mcn_1080p", {"ms_per_frame": t / B * 1e3,
+                           "flops_per_frame": c["flops"] / B,
+                           "mfu": mfu(c["flops"], t)})
+
+
+@jax.jit
+def piece_warp_only(prev, flow):
+    return bilinear_warp(prev, flow)
+
+
+piece_warp_only(prev, flow_orig)
+t = time_device(lambda: piece_warp_only(prev, flow_orig), ITERS)
+log("enc_warp_only_1080p", {"ms_per_frame": t / B * 1e3})
+
+
+@jax.jit
+def piece_analysis(v, residual, flow):
+    from rdvc_tpu.models.codec import VideoCodec
+
+    m = runtime._apply(v, flow, method=VideoCodec.analyze_motion)
+    r = runtime._apply(v, residual, method=VideoCodec.analyze_residual)
+    return m, r
+
+
+residual = cur - pred
+m_lat, r_lat = piece_analysis(runtime.variables, residual, flow_orig)
+t = time_device(
+    lambda: piece_analysis(runtime.variables, residual, flow_orig), ITERS
+)
+c = compiled_cost(piece_analysis, runtime.variables, residual, flow_orig)
+log("enc_analysis_1080p", {"ms_per_frame": t / B * 1e3,
+                           "flops_per_frame": c["flops"] / B,
+                           "mfu": mfu(c["flops"], t)})
+
+# ---------------- device rANS encode ----------------
+t = time_device(
+    lambda: runtime.encode_frames_device_rans(m_sym, r_sym)[:2], ITERS
+)
+log("enc_device_rans", {"ms_per_frame": t / B * 1e3})
+
+# assemble (host side incl. word download)
+handles = runtime.encode_frames_device_rans(m_sym, r_sym)
+t0 = time.perf_counter()
+payload_rows = runtime.assemble_frames(handles, B)
+t_asm = time.perf_counter() - t0
+log("enc_assemble_host", {"ms_per_frame": t_asm / B * 1e3})
+
+# ---------------- host rANS (escape path cost) ----------------
+m_np, r_np = runtime.download_symbols(m_sym, r_sym)
+t0 = time.perf_counter()
+runtime.compress_motion_symbols(m_np[:1])
+runtime.compress_residual_symbols(r_np[:1])
+t_host = time.perf_counter() - t0
+log("host_rans_encode", {"ms_per_frame": t_host * 1e3})
+
+# ---------------- decode pieces ----------------
+# Scan decode: T steps x G rows, matching bench's GOP-batched shape.
+G = 2
+T = 8
+mT = jnp.asarray(
+    np.repeat(np.asarray(m_sym)[:T][:, None], G, 1)
+)  # (T, G, h, w, C)
+rT = jnp.asarray(np.repeat(np.asarray(r_sym)[:T][:, None], G, 1))
+state = jnp.asarray(
+    np.stack([np.asarray(prev[0]), np.asarray(prev[0])])
+)  # (G, H, W, 3)
+
+scan_args = (
+    runtime.variables, state, state, state, mT, rT,
+    jnp.float32(0.0), jnp.float32(0.0), (H, W), True,
+)
+out = runtime._scan_decode_fn(*scan_args)
+t = time_device(lambda: runtime._scan_decode_fn(*scan_args), ITERS)
+c = compiled_cost(runtime._scan_decode_fn, *scan_args)
+n_f = T * G
+log("decode_scan", {
+    "s_per_dispatch": t, "ms_per_frame": t / n_f * 1e3,
+    "flops_per_frame": c["flops"] / n_f, "mfu": mfu(c["flops"], t),
+})
+
+# reconstruct only (no post stages)
+m_med = jnp.asarray(runtime.motion_tables.medians)
+r_med = jnp.asarray(runtime.residual_tables.medians)
+rec_args = (
+    runtime.variables, state,
+    mT[0].astype(jnp.float32) + m_med, rT[0].astype(jnp.float32) + r_med,
+    (H, W),
+)
+runtime._reconstruct_fn(*rec_args)
+t = time_device(lambda: runtime._reconstruct_fn(*rec_args), ITERS)
+c = compiled_cost(runtime._reconstruct_fn, *rec_args)
+log("dec_reconstruct_1080p", {"ms_per_frame": t / G * 1e3,
+                              "flops_per_frame": c["flops"] / G,
+                              "mfu": mfu(c["flops"], t)})
+
+
+@jax.jit
+def piece_histmatch(a, b):
+    return histogram_match_ycrcb(a, b)
+
+
+piece_histmatch(state, state)
+t = time_device(lambda: piece_histmatch(state, state), ITERS)
+log("dec_histmatch_1080p", {"ms_per_frame": t / G * 1e3})
+
+
+@jax.jit
+def piece_i420_pack(x):
+    return runtime._rgb_to_i420_traced(x)
+
+
+piece_i420_pack(state)
+t = time_device(lambda: piece_i420_pack(state), ITERS)
+log("dec_i420_pack", {"ms_per_frame": t / G * 1e3})
+
+# device rANS decode kernel
+payloads_m = [p[0] for p in payload_rows]
+payloads_r = [p[2] for p in payload_rows]
+if all(p is not None and p[0] == 0x03 for p in payloads_m + payloads_r):
+    runtime.decode_payloads_device(payloads_m, "motion", (m_sym.shape[1], m_sym.shape[2]))
+    t = time_device(
+        lambda: (
+            runtime.decode_payloads_device(
+                payloads_m, "motion", (m_sym.shape[1], m_sym.shape[2])
+            ),
+            runtime.decode_payloads_device(
+                payloads_r, "residual", (r_sym.shape[1], r_sym.shape[2])
+            ),
+        ),
+        ITERS,
+    )
+    log("dec_device_rans", {"ms_per_frame": t / B * 1e3})
+else:
+    log("dec_device_rans", {"skipped": "escape payloads present"})
+
+# frame download (I420 1080p)
+down = time_transfer_down(out[2])  # (T, G, H*1.5, W) uint8
+log("frame_download", {
+    "ms_per_frame": down["seconds"] / n_f * 1e3,
+    "mb_per_s": down["mb_per_s"],
+})
+
+out_path = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/profile_stages.json"
+os.makedirs(os.path.dirname(out_path), exist_ok=True)
+with open(out_path, "w") as f:
+    json.dump(report, f, indent=2)
+print("wrote", out_path)

@@ -1,0 +1,172 @@
+"""600-frame sustained 1080p run (VERDICT r2 item #4; the reference's
+jockey.txt scenario: 600 frames, iframe_interval 32, ~19 GOPs).
+
+Measures: sustained encode/decode fps, peak device memory, host RSS
+growth, and PSNR-vs-frame-index drift across GOPs. Streams the decoded
+YUV from disk so 600 frames never sit in host RAM at once.
+
+Run on the real TPU:  python scripts/sustained_run.py
+Env: SUST_FRAMES (default 600)
+"""
+
+import json
+import logging
+import os
+import tempfile
+import time
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import numpy as np
+import jax
+
+logging.basicConfig(level=logging.INFO)
+np.asarray(jax.device_put(np.zeros(8, np.uint8)))  # absorb relay handshake
+
+from rdvc_tpu.utils.runtime import enable_persistent_cache
+
+enable_persistent_cache()
+
+from rdvc_tpu.config import CodecConfig
+from rdvc_tpu.eval.clips import coherent_clip
+from rdvc_tpu.io.yuv import read_yuv420p_frames, write_yuv420p_frames
+from rdvc_tpu.models.raft import RaftRunner
+from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+from rdvc_tpu.pipeline.decode import decode_video
+from rdvc_tpu.pipeline.encode import encode_video
+
+N = int(os.environ.get("SUST_FRAMES", "600"))
+H, W = 1080, 1920
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def peak_device_bytes() -> int:
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return int(stats.get("peak_bytes_in_use", 0))
+    except Exception:
+        return 0
+
+
+report = {"frames": N, "resolution": [W, H]}
+with tempfile.TemporaryDirectory() as td:
+    yuv = os.path.join(td, "in.yuv")
+    t0 = time.time()
+    frames = coherent_clip(N, H, W, seed=0)
+    write_yuv420p_frames(yuv, frames)
+    del frames
+    report["clip_gen_s"] = round(time.time() - t0, 1)
+
+    config = CodecConfig()
+    config.input_file_path = yuv
+    config.output_rdvc_file = os.path.join(td, "out.rdvc")
+    config.input_rdvc_file = config.output_rdvc_file
+    config.output_video_path_decode = os.path.join(td, "recon.yuv")
+    config.input_yuv_width = W
+    config.input_yuv_height = H
+    config.iframe_interval = 32  # jockey.txt setting -> ~19 GOPs at 600
+    config.flow_compress_height = 1080
+    config.residual_compress_height = 1080
+    config.decode_gop_batch = 2
+    config.raft_backend = "raft"
+    config.raft_checkpoint_path = "checkpoints/demo_raft.ckpt"
+    config.codec_checkpoint_path = "checkpoints/demo_synthetic.ckpt"
+
+    runtime = CodecRuntime(
+        model_cfg=config.model_config(),
+        checkpoint_path=(
+            config.codec_checkpoint_path
+            if os.path.exists(config.codec_checkpoint_path)
+            else None
+        ),
+    )
+    runner = RaftRunner(
+        iters=config.raft_iters, checkpoint_path=config.raft_checkpoint_path
+    )
+    runtime.attach_raft(runner.model, runner.variables)
+
+    # Warmup: compile all shapes on a 3-frame run.
+    warm = CodecConfig(**{**config.__dict__})
+    warm.output_rdvc_file = os.path.join(td, "warm.rdvc")
+    warm.input_rdvc_file = warm.output_rdvc_file
+    warm.output_video_path_decode = os.path.join(td, "warm.yuv")
+    encode_video(warm, runtime=runtime, max_frames=3)
+    decode_video(warm, runtime=runtime)
+
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    enc = encode_video(config, runtime=runtime, max_frames=N)
+    t1 = time.perf_counter()
+    rss_enc = rss_mb()
+    dec = decode_video(config, runtime=runtime)
+    t2 = time.perf_counter()
+    rss_dec = rss_mb()
+
+    assert enc["frames"] == N and dec["frames"] == N
+    report.update({
+        "encode_fps": round(N / (t1 - t0), 3),
+        "decode_fps": round(N / (t2 - t1), 3),
+        "combined_fps": round(N / (t2 - t0), 3),
+        "encode_s_per_frame": round((t1 - t0) / N, 4),
+        "decode_s_per_frame": round((t2 - t1) / N, 4),
+        "bpp": round(enc["file_bytes"] * 8 / (N * H * W), 4),
+        "file_bytes": enc["file_bytes"],
+        "peak_device_bytes": peak_device_bytes(),
+        "host_rss_mb": {
+            "before": round(rss0, 1),
+            "after_encode": round(rss_enc, 1),
+            "after_decode": round(rss_dec, 1),
+        },
+        "encode_stage_ms": {
+            k: round(v["total_s"] * 1000, 1)
+            for k, v in sorted(
+                enc["timings"].items(), key=lambda kv: -kv[1]["total_s"]
+            )
+        },
+        "decode_stage_ms": {
+            k: round(v["total_s"] * 1000, 1)
+            for k, v in sorted(
+                dec["timings"].items(), key=lambda kv: -kv[1]["total_s"]
+            )
+        },
+    })
+
+    # PSNR drift per frame (streamed; nothing held in RAM).
+    src_it = read_yuv420p_frames(yuv, W, H)
+    rec_it = read_yuv420p_frames(config.output_video_path_decode, W, H)
+    psnrs = []
+    for a, b in zip(src_it, rec_it):
+        mse = np.mean(
+            np.square(a.astype(np.float32) - b.astype(np.float32))
+        )
+        psnrs.append(float(10 * np.log10(255.0 ** 2 / max(mse, 1e-9))))
+    report["psnr_avg_db"] = round(float(np.mean(psnrs)), 3)
+    report["psnr_first100_db"] = round(float(np.mean(psnrs[:100])), 3)
+    report["psnr_last100_db"] = round(float(np.mean(psnrs[-100:])), 3)
+    # within-GOP drift: average PSNR by position in the GOP
+    gop = config.iframe_interval
+    by_pos = {}
+    for i, v in enumerate(psnrs):
+        by_pos.setdefault(i % gop, []).append(v)
+    report["psnr_by_gop_position"] = {
+        str(k): round(float(np.mean(v)), 2)
+        for k, v in sorted(by_pos.items())
+        if k in (0, 1, 8, 16, 24, 31)
+    }
+    report["psnr_per_frame_decimated"] = [
+        round(v, 2) for v in psnrs[::10]
+    ]
+
+os.makedirs("benchmarks", exist_ok=True)
+with open("benchmarks/sustained_r03.json", "w") as f:
+    json.dump(report, f, indent=2)
+print(json.dumps({k: v for k, v in report.items()
+                  if k != "psnr_per_frame_decimated"}, indent=2))
+print("wrote benchmarks/sustained_r03.json")

@@ -1,0 +1,105 @@
+"""Train the multi-rate checkpoint ladder for the RD report (VERDICT r2
+item #2: rate-control the codec into the reference's 0.1-1.5 bpp regime).
+
+Each rate point fine-tunes from a base checkpoint with a different
+lambda_bpp (rate emphasis) on the coherent-motion synthetic mixture (the
+eval-clip content family), phase 2 then phase 3 — the reference's
+multi-rate analog (it ships one checkpoint and sweeps resolution; we sweep
+lambda for the rate axis AND keep its height ladder for the sweep axis).
+
+Run on the real TPU:
+  python scripts/train_rate_points.py [--lambdas 3 10 30] [--epochs 12]
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import numpy as np
+import jax
+
+np.asarray(jax.device_put(np.zeros(8, np.uint8)))  # absorb relay handshake
+
+from rdvc_tpu.utils.runtime import enable_persistent_cache
+
+enable_persistent_cache()
+
+from rdvc_tpu.config import ModelConfig, TrainConfig
+from rdvc_tpu.train.data import (
+    CoherentCropDataset,
+    MixtureDataset,
+    SyntheticFlowPairDataset,
+)
+from rdvc_tpu.train.loop import Trainer
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", type=str,
+                   default="checkpoints/rd_synthetic.ckpt",
+                   help="checkpoint to fine-tune from ('' = scratch)")
+    p.add_argument("--lambdas", type=float, nargs="*", default=[3, 10, 30])
+    p.add_argument("--epochs", type=int, default=12,
+                   help="fine-tune epochs per rate point")
+    p.add_argument("--phase3_tail", type=int, default=4,
+                   help="last N epochs run phase 3 (MS-SSIM term)")
+    p.add_argument("--crop", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--pairs", type=int, default=256)
+    p.add_argument("--out_dir", type=str, default="checkpoints")
+    args = p.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+
+    dataset = MixtureDataset(
+        CoherentCropDataset(size=args.crop, length=args.pairs // 2),
+        SyntheticFlowPairDataset(size=args.crop, length=args.pairs // 2),
+    )
+
+    for lam in args.lambdas:
+        t0 = time.time()
+        cfg = TrainConfig()
+        cfg.batch_size = args.batch_size
+        cfg.crop_size = (args.crop, args.crop)
+        cfg.lambda_bpp_motion = lam
+        cfg.lambda_bpp_residual = lam
+        cfg.real_bitstream_check_every = 0
+        cfg.vis_dir = ""  # keep fine-tunes lean
+        out = os.path.join(args.out_dir, f"rate_l{lam:g}.ckpt")
+        cfg.checkpoint_dir = os.path.join(args.out_dir, f"rate_l{lam:g}_run")
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+
+        trainer = Trainer(cfg=cfg, model_cfg=ModelConfig())
+        state = None
+        if args.base and os.path.exists(args.base):
+            state = trainer.restore(args.base, spatial=cfg.crop_size)
+            logging.info(
+                "lambda=%g: resumed %s at epoch %d", lam, args.base,
+                state.epoch,
+            )
+        start_epoch = (state.epoch if state else 0) + 1
+        end_epoch = start_epoch + args.epochs - 1
+        # Phase plan: fine-tune in phase 2, switch to phase 3 for the tail.
+        cfg.phase1_epochs = 0
+        cfg.phase3_start_epoch = end_epoch - args.phase3_tail + 1
+        cfg.num_epochs = end_epoch
+        if state is not None:
+            import dataclasses
+
+            state = dataclasses.replace(state, epoch=start_epoch)
+        state = trainer.fit(dataset, state=state)
+        trainer.save(state, out)
+        logging.info(
+            "lambda=%g done in %.1f min -> %s", lam,
+            (time.time() - t0) / 60, out,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -148,3 +148,32 @@ def test_flow_hsv_vis():
     assert rgb.shape == (8, 8, 3) and rgb.dtype == np.uint8
     # distinct directions get distinct hues
     assert not np.array_equal(rgb[0, 0], rgb[7, 0])
+
+
+def test_clips_coherent_motion():
+    """coherent_clip frames are exact translations of each other (the
+    ground-truth flow is the step), and the shared generator matches what
+    bench.py uses."""
+    import numpy as np
+
+    from rdvc_tpu.eval.clips import coherent_clip, shimmer_clip
+
+    frames = coherent_clip(3, 64, 96, seed=2, step=(3, 2))
+    assert len(frames) == 3
+    assert frames[0].shape == (64, 96, 3) and frames[0].dtype == np.uint8
+    # frame t+1 shifted back by (dy, dx) equals frame t on the overlap
+    a = frames[0][3:, 2:]
+    b = frames[1][:-3, :-2]
+    assert np.array_equal(a, b)
+
+    import bench
+
+    bench_frames = bench.synth_frames(3, 64, 96, seed=2, step=(3, 2))
+    assert all(
+        np.array_equal(x, y) for x, y in zip(frames, bench_frames)
+    )
+
+    sh = shimmer_clip(3, 64, 96)
+    assert sh[0].shape == (64, 96, 3)
+    # shimmer is NOT a translation (different regime by construction)
+    assert not np.array_equal(sh[0][3:, 2:], sh[1][:-3, :-2])

@@ -248,9 +248,13 @@ def test_decode_debug_dumps(tmp_path, runtime):
     import glob
 
     dumps = glob.glob(str(tmp_path / "dbg" / "*.png"))
-    assert len(dumps) >= 7  # at least one full staged set
+    assert len(dumps) >= 9  # at least one full staged set (all 9 stages)
     names = {p.split("_", 2)[-1] for p in dumps}
     assert any("final_post" in n for n in names)
+    # The two reference debug stages added in round 3
+    # (codec_processing.py:1851-1903):
+    assert any("lmr_mask" in n for n in names)
+    assert any("hist_matched" in n for n in names)
 
 
 def test_select_device_gpu_flag():

@@ -252,3 +252,38 @@ def test_epoch_visualization(tmp_path, trainer):
     batch = next(batch_iterator(ds, 2, shuffle=False))
     path = visualize_epoch(trainer, state, batch, 3, 2, str(tmp_path / "vis"))
     assert path and os.path.getsize(path) > 0
+
+
+def test_coherent_crop_dataset():
+    """f2(x) = f1(x + flow) exactly (integer-step translation), and the
+    mixture dataset interleaves sources."""
+    from rdvc_tpu.train.data import (
+        CoherentCropDataset,
+        MixtureDataset,
+        SyntheticFlowPairDataset,
+    )
+
+    ds = CoherentCropDataset(size=32, length=8, seed=3, max_step=3)
+    assert len(ds) == 8
+    f1, f2, flow = ds[2]
+    assert f1.shape == (32, 32, 3) and flow.shape == (32, 32, 2)
+    dx = int(flow[0, 0, 0])
+    dy = int(flow[0, 0, 1])
+    assert np.all(flow[..., 0] == dx) and np.all(flow[..., 1] == dy)
+    # verify the warp identity on the valid overlap
+    ys = slice(max(0, -dy), 32 - max(0, dy))
+    xs = slice(max(0, -dx), 32 - max(0, dx))
+    np.testing.assert_allclose(
+        f2[ys, xs],
+        f1[
+            slice(ys.start + dy, ys.stop + dy),
+            slice(xs.start + dx, xs.stop + dx),
+        ],
+        atol=1e-6,
+    )
+
+    mix = MixtureDataset(ds, SyntheticFlowPairDataset(size=32, length=4))
+    assert len(mix) == 12
+    a = mix[0][0]
+    b = mix[1][0]
+    assert a.shape == b.shape == (32, 32, 3)
