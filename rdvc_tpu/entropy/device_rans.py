@@ -343,13 +343,28 @@ def _decode_ca_batch_kernel(
     """
     Bb, Wmax, S = grids.shape
     C = S // K
-    grids_u = grids.astype(jnp.uint32)          # (B, Wmax, S)
-    state = grids_u[:, 0, :] << 16 | grids_u[:, 1, :]  # (B, S)
+    state = (grids[:, 0, :].astype(jnp.uint32) << 16) | grids[
+        :, 1, :
+    ].astype(jnp.uint32)                       # (B, S)
     pos = jnp.full((Bb, S), 2, jnp.int32)
     rows_u = cdf_rows.astype(jnp.uint32)[None]  # (1, S, M)
-    row_ids = jnp.arange(Wmax, dtype=jnp.int32)[None, :, None]  # (1,Wmax,1)
+    lane = jnp.arange(S, dtype=jnp.int32)[None, :]
+    # Blocked word-window layout: per-stream read pointers advance
+    # monotonically by <=1 per symbol, so one unrolled body (_DEC_UNROLL
+    # symbols) consumes at most _DEC_UNROLL words — fetch the two 8-row
+    # blocks covering [pos, pos+8) ONCE per body (2 slice-gathers of S
+    # indices) instead of one gather per symbol (8x fewer gather indices;
+    # TPU gathers serialize per index and the per-symbol fetch was ~80% of
+    # this kernel). W2[b, blk*S + s, j] = grid[b, blk*8 + j, s].
+    W8 = Wmax // 8
+    W2 = (
+        grids.reshape(Bb, W8, 8, S)
+        .transpose(0, 1, 3, 2)
+        .reshape(Bb, W8 * S, 8)
+    )
+    kk16 = jnp.arange(16, dtype=jnp.int32)[None, None, :]  # (1, 1, 16)
 
-    def one(carry, t):
+    def one(carry, window, base, t):
         state, pos = carry
         cum = (state & 0xFFFF).astype(jnp.uint32)  # (B, S)
         ge = rows_u <= cum[..., None]              # (B, S, M)
@@ -370,22 +385,33 @@ def _decode_ca_batch_kernel(
         freq = nxt - start
         state = freq * (state >> 16) + cum - start
         need = state < RANS16_L
-        # Word fetch WITHOUT a gather: per-stream read pointers advance
-        # monotonically, and TPU gathers serialize per index (the fetch was
-        # ~80% of this kernel's time) — a one-hot comparison-sum over the
-        # grid rows is pure VPU work.
+        # select the current word from the 16-word window (VPU one-hot)
+        local = (pos - base)[..., None]            # (B, S, 1) in [0, 16)
         word = jnp.sum(
-            jnp.where(row_ids == pos[:, None, :], grids_u, 0),
-            axis=1, dtype=jnp.uint32,
-        )                                          # (B, S)
+            jnp.where(kk16 == local, window, 0), -1, dtype=jnp.uint32
+        )
         state = jnp.where(need, (state << 16) | word, state)
         pos = pos + need.astype(jnp.int32)
         return (state, pos), sidx
 
     def body(carry, i):
+        state, pos = carry
+        # Fetch the two 8-row blocks covering this body's word window
+        # [pos, pos+8): 2 slice-gathers (S indices each) per 8 symbols.
+        b0 = pos >> 3                              # (B, S)
+        b1 = jnp.minimum(b0 + 1, W8 - 1)
+        f0 = jnp.take_along_axis(
+            W2, (b0 * S + lane)[..., None], axis=1
+        )                                          # (B, S, 8)
+        f1 = jnp.take_along_axis(
+            W2, (b1 * S + lane)[..., None], axis=1
+        )
+        window = jnp.concatenate([f0, f1], axis=-1).astype(jnp.uint32)
+        base = b0 << 3                             # window row origin
+        carry = (state, pos)
         syms = []
         for k in range(_DEC_UNROLL):
-            carry, sym = one(carry, i * _DEC_UNROLL + k)
+            carry, sym = one(carry, window, base, i * _DEC_UNROLL + k)
             syms.append(sym)
         return carry, jnp.stack(syms)              # (U, B, S)
 

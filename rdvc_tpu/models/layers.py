@@ -16,6 +16,81 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rdvc_tpu.ops.mmconv import (
+    conv2d_mm,
+    conv_transpose2d_mm,
+    use_mm_conv,
+)
+
+
+class _MMConv(nn.Module):
+    """Drop-in conv computed via MXU matmuls (ops/mmconv.py): XLA's native
+    conv lowering runs at ~2-7% MFU on the target chip while its matmul
+    path reaches ~49%. Same param names/shapes/init as nn.Conv, so
+    checkpoints are interchangeable (instantiated with name='Conv_0')."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            self.param_dtype,
+        )
+        (ph, _), (pw, _) = self.padding
+        y = conv2d_mm(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            stride=tuple(self.strides), padding=(ph, pw),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(),
+                (self.features,), self.param_dtype,
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class _MMConvTranspose(nn.Module):
+    """Drop-in 2x up-conv (k3 s2 'SAME') via the mmconv phase
+    decomposition; param-compatible with nn.ConvTranspose
+    (instantiated with name='ConvTranspose_0')."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            self.param_dtype,
+        )
+        y = conv_transpose2d_mm(
+            x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(),
+                (self.features,), self.param_dtype,
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
 
 def get_activation(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
     """Activation registry (reference codec_processing.py:101-114)."""
@@ -92,15 +167,27 @@ class ConvNormAct(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         pad = self.kernel_size // 2
         use_bias = self.norm in (None, "none")
-        y = nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=use_bias,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if use_mm_conv():
+            y = _MMConv(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=use_bias,
+                dtype=self.compute_dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            y = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=use_bias,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="Conv_0",
+            )(x)
         norm = _make_norm(self.norm, train)
         if norm is not None:
             y = norm(y.astype(jnp.float32)).astype(self.compute_dtype)
@@ -126,15 +213,28 @@ class ConvTransposeNormAct(nn.Module):
         use_bias = self.norm in (None, "none")
         # torch ConvTranspose2d(k, s, p, op): out = (in-1)*s - 2p + k + op.
         # For k=3,s=2,p=1,op=1 that is exactly 2*in == XLA 'SAME' transpose.
-        y = nn.ConvTranspose(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            use_bias=use_bias,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if (
+            use_mm_conv()
+            and self.kernel_size == 3
+            and self.stride == 2
+        ):
+            y = _MMConvTranspose(
+                features=self.features,
+                use_bias=use_bias,
+                dtype=self.compute_dtype,
+                name="ConvTranspose_0",
+            )(x)
+        else:
+            y = nn.ConvTranspose(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                use_bias=use_bias,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="ConvTranspose_0",
+            )(x)
         norm = _make_norm(self.norm, train)
         if norm is not None:
             y = norm(y.astype(jnp.float32)).astype(self.compute_dtype)
@@ -180,15 +280,27 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = self.kernel_size // 2
-        y = nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=True,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if use_mm_conv():
+            y = _MMConv(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=True,
+                dtype=self.compute_dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            y = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=True,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="Conv_0",
+            )(x)
         if self.out_dtype is not None:
             y = y.astype(self.out_dtype)
         return y

@@ -54,12 +54,23 @@ def time_device(fn: Callable[[], object], iters: int = 3) -> float:
     return (time.perf_counter() - t0) / max(1, iters)
 
 
+@jax.jit
+def _fresh_copy(x):
+    return x + jnp.zeros((), x.dtype)
+
+
 def time_transfer_down(arr, iters: int = 2) -> Dict[str, float]:
-    """Measured device->host bandwidth for a REAL bulk download of `arr`."""
-    np.asarray(arr)  # ensure computed + first-readback handshake paid
+    """Measured device->host bandwidth for a REAL bulk download.
+
+    np.asarray on the same jax.Array reuses its cached host copy (a second
+    call returns in microseconds and measures nothing) — so each iteration
+    downloads a FRESH device array (a trivial on-device add; its ~ms of
+    bandwidth is noise next to the multi-second relay download)."""
+    y = _fresh_copy(arr)
+    np.asarray(y)  # first-readback handshake + compile paid here
     t0 = time.perf_counter()
     for _ in range(iters):
-        host = np.asarray(arr)
+        host = np.asarray(_fresh_copy(arr))
     dt = (time.perf_counter() - t0) / iters
     return {"seconds": dt, "mb_per_s": host.nbytes / max(dt, 1e-9) / 1e6}
 
