@@ -211,6 +211,22 @@ def _flatten_batch_kernel(words: jax.Array, flags: jax.Array):
     return flat, k, jnp.sum(k, axis=1)
 
 
+@jax.jit
+def _pack_assemble_meta(lengths, totals, states, esc):
+    """One (B, 2S+2) uint32 array holding everything assemble_batch needs
+    besides the words: each np.asarray is a relay round trip that can block
+    behind queued device work, so the four small downloads become one."""
+    return jnp.concatenate(
+        [
+            lengths.astype(jnp.uint32),
+            states.astype(jnp.uint32),
+            totals.astype(jnp.uint32)[:, None],
+            esc.astype(jnp.uint32)[:, None],
+        ],
+        axis=1,
+    )
+
+
 class DeviceRansEncoder:
     """Encodes (B, h, w, C) latent symbol tensors on device into
     channel-aligned chunked rANS16 payloads (tag 0x03); falls back to None
@@ -273,15 +289,20 @@ class DeviceRansEncoder:
     def assemble_batch(
         self, flat_words, lengths, totals, states, esc, n_symbols, stream_len
     ) -> List[Optional[bytes]]:
-        """Host side: download the exact stream-major word prefix (one
-        bucketed slice for the whole batch — payload-sized, not padded-grid
-        -sized) and splice in the per-stream state words with vectorized
-        numpy. Frames with escapes yield None."""
-        esc_np = np.asarray(esc)
-        lens = np.asarray(lengths)                  # (B, S)
-        totals_np = np.asarray(totals)              # (B,)
-        states_np = np.asarray(states, np.uint32)   # (B, S)
-        B, S = lens.shape
+        """Host side: ONE packed meta download + one bucketed word-prefix
+        download for the whole batch (each np.asarray is a relay round trip
+        that can block behind queued device work), then splice the
+        per-stream state words with vectorized numpy. Frames with escapes
+        yield None."""
+        S = lengths.shape[1]
+        meta = np.asarray(
+            _pack_assemble_meta(lengths, totals, states, esc)
+        )                                           # (B, 2S+2) uint32
+        lens = meta[:, :S]
+        states_np = meta[:, S : 2 * S]              # (B, S)
+        totals_np = meta[:, 2 * S]
+        esc_np = meta[:, 2 * S + 1]
+        B = lens.shape[0]
         cap = flat_words.shape[1]
         max_total = int(totals_np.max()) if totals_np.size else 0
         cols = min(_bucket(max_total), cap)

@@ -177,3 +177,21 @@ def test_clips_coherent_motion():
     assert sh[0].shape == (64, 96, 3)
     # shimmer is NOT a translation (different regime by construction)
     assert not np.array_equal(sh[0][3:, 2:], sh[1][:-3, :-2])
+
+
+def test_epe_eval_zero_flow():
+    """EPE harness: zero-flow backend must equal the mean GT magnitude."""
+    import numpy as np
+
+    from rdvc_tpu.eval.epe import evaluate_flow_backend, mean_epe
+    from rdvc_tpu.train.data import CoherentCropDataset
+
+    ds = CoherentCropDataset(size=24, length=4, seed=5, max_step=3)
+    r = evaluate_flow_backend(
+        lambda a, b: np.zeros(a.shape[:2] + (2,), np.float32), ds
+    )
+    expected = np.mean(
+        [mean_epe(np.zeros_like(ds[i][2]), ds[i][2]) for i in range(4)]
+    )
+    assert abs(r["epe_mean"] - expected) < 1e-6
+    assert r["items"] == 4
