@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p.add_argument("--lambdas", type=float, nargs="*", default=[3, 10, 30])
     p.add_argument("--epochs", type=int, default=12,
                    help="fine-tune epochs per rate point")
+    p.add_argument("--chain", action="store_true", default=True,
+                   help="warm-start each rate point from the previous one "
+                        "(ascending lambda), not from --base")
+    p.add_argument("--no-chain", dest="chain", action="store_false")
     p.add_argument("--phase3_tail", type=int, default=4,
                    help="last N epochs run phase 3 (MS-SSIM term)")
     p.add_argument("--crop", type=int, default=256)
@@ -61,7 +65,8 @@ def main(argv=None) -> int:
         SyntheticFlowPairDataset(size=args.crop, length=args.pairs // 2),
     )
 
-    for lam in args.lambdas:
+    base = args.base
+    for lam in sorted(args.lambdas):
         t0 = time.time()
         cfg = TrainConfig()
         cfg.batch_size = args.batch_size
@@ -76,10 +81,10 @@ def main(argv=None) -> int:
 
         trainer = Trainer(cfg=cfg, model_cfg=ModelConfig())
         state = None
-        if args.base and os.path.exists(args.base):
-            state = trainer.restore(args.base, spatial=cfg.crop_size)
+        if base and os.path.exists(base):
+            state = trainer.restore(base, spatial=cfg.crop_size)
             logging.info(
-                "lambda=%g: resumed %s at epoch %d", lam, args.base,
+                "lambda=%g: resumed %s at epoch %d", lam, base,
                 state.epoch,
             )
         start_epoch = (state.epoch if state else 0) + 1
@@ -98,6 +103,8 @@ def main(argv=None) -> int:
             "lambda=%g done in %.1f min -> %s", lam,
             (time.time() - t0) / 60, out,
         )
+        if args.chain:
+            base = out  # warm-start the next (higher-lambda) point
     return 0
 
 
