@@ -103,12 +103,14 @@ class VideoCodec(nn.Module):
         rate_motion = -jnp.log2(motion_lik)
         flow_reconstructed = self.motion_decoder(q_motion, train=train)
 
+        # Training always uses the flat warp: the tiled path's backward
+        # scatters window slices (serialized on TPU); see ops/warp.py.
         if current_phase == 1:
-            warped = bilinear_warp(frame1, flow_input)
+            warped = bilinear_warp(frame1, flow_input, impl="flat")
             predictor = warped
             residual_computed = frame2 - warped
         else:
-            warped = bilinear_warp(frame1, flow_reconstructed)
+            warped = bilinear_warp(frame1, flow_reconstructed, impl="flat")
             predictor = self.motion_compensation_net(
                 warped, flow_reconstructed, frame1, train=train
             )

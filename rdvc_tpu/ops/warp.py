@@ -13,17 +13,31 @@ vectorized so XLA lowers it to TPU gathers fused with the blend arithmetic.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
-def bilinear_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
+def _warp_impl() -> str:
+    """'tiled' routes tile-aligned shapes through ops/warp_tiled.py (one
+    dynamic-slice per tile + one-hot MXU picks instead of 2M serialized
+    per-pixel gathers). Read at trace time: set RDVC_WARP before first use."""
+    return os.environ.get("RDVC_WARP", "tiled").lower()
+
+
+def bilinear_warp(
+    image: jax.Array, flow: jax.Array, impl: str | None = None
+) -> jax.Array:
     """Backward-warp `image` by `flow`.
 
     Args:
       image: (B, H, W, C) array.
       flow:  (B, H, W, 2) array; flow[..., 0] = dx (horizontal, +right),
              flow[..., 1] = dy (vertical, +down), in pixels.
+      impl:  None -> RDVC_WARP env ('tiled' default); 'flat' forces the
+             per-pixel gather (training uses it: the tiled path's backward
+             would turn window slices into serialized TPU scatter-adds).
 
     Returns:
       (B, H, W, C) warped image, same dtype as `image`.
@@ -35,6 +49,14 @@ def bilinear_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
             f"image {image.shape} and flow {flow.shape} spatial mismatch"
         )
     B, H, W, C = image.shape
+    if (impl or _warp_impl()) == "tiled":
+        from rdvc_tpu.ops.warp_tiled import (
+            bilinear_warp_tiled,
+            warp_tiled_supported,
+        )
+
+        if warp_tiled_supported(image.shape):
+            return bilinear_warp_tiled(image, flow)
     orig_dtype = image.dtype
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)

@@ -9,7 +9,9 @@ shape and keeps all state on device between stages.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -46,6 +48,25 @@ class CodecRuntime:
             )
             if checkpoint_path:
                 variables, _ = load_checkpoint(checkpoint_path, variables)
+        # Inference-time BatchNorm folding (models/fold.py): eval-mode BN is
+        # a fixed per-channel affine that composes exactly into the
+        # preceding conv — the runtime re-instantiates the model with
+        # norm='none' and folded kernels, removing every f32 norm
+        # round-trip at 1080p. RDVC_FOLD_BN=0 keeps the raw graph.
+        if (
+            self.cfg.norm == "batch"
+            and variables.get("batch_stats")
+            and os.environ.get("RDVC_FOLD_BN", "1") != "0"
+        ):
+            from rdvc_tpu.models.fold import fold_batchnorms
+
+            variables = {
+                "params": fold_batchnorms(
+                    variables["params"], variables["batch_stats"]
+                )
+            }
+            self.cfg = dataclasses.replace(self.cfg, norm="none")
+            self.model = VideoCodec(cfg=self.cfg)
         self.variables = {
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
