@@ -101,6 +101,19 @@ with tempfile.TemporaryDirectory() as td:
         all_results[name] = res
 dt = time.time() - t_start
 
+# Merge into an existing report (RD_MERGE=1): lets a later run add new
+# rate points (e.g. freshly trained lambda checkpoints via RD_CKPTS)
+# without re-sweeping the existing ones.
+if os.environ.get("RD_MERGE") == "1" and os.path.exists(
+    "benchmarks/rd_r03.json"
+):
+    with open("benchmarks/rd_r03.json") as f:
+        prev = json.load(f)
+    merged = dict(prev.get("results", {}))
+    merged.update(all_results)
+    all_results = merged
+    dt += prev.get("sweep_minutes", 0.0) * 60
+
 report = {
     "frames": FRAMES,
     "heights": HEIGHTS,
@@ -155,7 +168,15 @@ if flow_backend == "raft" and epe_report:
 else:
     lines += ["Flow backend: host Farneback (RAFT checkpoint missing).", ""]
 
-for name, res in all_results.items():
+def _lam(name):  # rate_l30 -> 30; non-ladder names sort last by name
+    try:
+        return (0, float(name.split("_l")[-1]))
+    except ValueError:
+        return (1, 0.0)
+
+
+for name in sorted(all_results, key=lambda n: (_lam(n), n)):
+    res = all_results[name]
     lines += [
         "## %s" % name,
         "",
