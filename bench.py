@@ -121,12 +121,19 @@ def main():
             }
         )
 
-        # Warmup: compile all shapes with a 3-frame run.
+        # Warmup: compile all shapes the timed run will use. Must span a
+        # FULL GOP plus the next I-frame — a short warmup never traces the
+        # full-size P-frame batch or the scan-decode with T=interval-1
+        # steps, and a cold persistent cache then pays ~40 s/shape 1080p
+        # compiles inside the timed section (observed: 0.41 fps vs 3+ fps
+        # purely from warmup coverage).
         warm = CodecConfig(**{**config.__dict__})
         warm.output_rdvc_file = os.path.join(td, "warm.rdvc")
         warm.input_rdvc_file = warm.output_rdvc_file
         warm.output_video_path_decode = os.path.join(td, "warm.yuv")
-        encode_video(warm, runtime=runtime, max_frames=3)
+        encode_video(
+            warm, runtime=runtime, max_frames=config.iframe_interval + 1
+        )
         decode_video(warm, runtime=runtime)
 
         # Optional jax.profiler capture of the timed section (SURVEY §5):

@@ -474,11 +474,13 @@ def _decode_gop_batched(
 
     pool = ThreadPoolExecutor(max_workers=max(1, config.rans_threads))
 
-    def process_group(group) -> None:
+    def process_group(group, pad_to=None) -> None:
         # Pad to the fixed batch size so every group hits one compiled
-        # shape; padded rows are dropped at emit time.
+        # shape; padded rows are dropped at emit time. The OOM fallback
+        # passes pad_to=1 so the retry genuinely shrinks the device
+        # working set instead of re-padding to the shape that just OOMed.
         real = len(group)
-        while len(group) < gop_batch:
+        while len(group) < (gop_batch if pad_to is None else pad_to):
             group = group + [group[-1]]
         B = len(group)
         with timer.span("iframe_decode"):
@@ -575,6 +577,25 @@ def _decode_gop_batched(
             for k2, f in out_frames[gi]:
                 emit(f, k2)
 
+    def safe_process(group):
+        """Device OOM on a multi-GOP group degrades to GOP-serial retries:
+        each GOP restarts cleanly from its own I-frame (nothing is emitted
+        until a group completes), so halving the batch rows is always safe.
+        Long runs sit near the HBM ceiling (observed: a 600-frame sustained
+        decode OOMs at B=2 where the 64-frame bench with identical shapes
+        fits) — resilience here keeps the jockey.txt scenario alive."""
+        try:
+            process_group(group)
+        except Exception as e:  # jaxlib runtime error types vary by backend
+            if "RESOURCE_EXHAUSTED" not in str(e) or len(group) == 1:
+                raise
+            log.warning(
+                "device OOM decoding a %d-GOP group; retrying GOP-serially",
+                len(group),
+            )
+            for g in group:
+                process_group([g], pad_to=1)
+
     group = []
     current = None
     for rec in reader.frames():
@@ -582,7 +603,7 @@ def _decode_gop_batched(
             if current is not None:
                 group.append(current)
                 if len(group) >= gop_batch:
-                    process_group(group)
+                    safe_process(group)
                     group = []
             _, ibytes = unpack_iframe_payload(rec.payload)
             current = {"ibytes": ibytes, "p": []}
@@ -594,7 +615,7 @@ def _decode_gop_batched(
     if current is not None:
         group.append(current)
     if group:
-        process_group(group)
+        safe_process(group)
     pool.shutdown()
 
 

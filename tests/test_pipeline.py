@@ -223,6 +223,36 @@ def test_gop_mesh_sharded_matches_serial(tmp_path, runtime):
         np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
 
 
+def test_gop_batched_oom_falls_back_gop_serial(tmp_path, runtime, monkeypatch):
+    """A device OOM on a multi-GOP group must degrade to GOP-serial decode
+    (pad_to=1, genuinely smaller working set) and still produce frames
+    identical to the serial path."""
+    in_path, _ = _make_video(tmp_path, n=10)
+    config = _small_config(tmp_path, in_path)
+    encode_video(config, runtime=runtime)
+    config.decode_gop_batch = 1
+    d_serial = decode_video(config, runtime=runtime, collect_frames=True)
+
+    real_scan = runtime.decode_pframes_scan
+    oom_calls = {"n": 0}
+
+    def scan_or_oom(state_raw, prev_post, iframe, m_T, r_T, *a, **k):
+        if m_T.shape[1] > 1:  # any multi-row group "exhausts" device memory
+            oom_calls["n"] += 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (fake)")
+        return real_scan(state_raw, prev_post, iframe, m_T, r_T, *a, **k)
+
+    monkeypatch.setattr(runtime, "decode_pframes_scan", scan_or_oom)
+    config.decode_gop_batch = 4
+    d_fb = decode_video(config, runtime=runtime, collect_frames=True)
+    assert oom_calls["n"] >= 1
+    assert d_fb["frames"] == d_serial["frames"] == 10
+    for i, (a, b) in enumerate(
+        zip(d_fb["decoded_frames"], d_serial["decoded_frames"])
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+
+
 @pytest.mark.slow
 def test_gop_batched_lone_trailing_iframe(tmp_path, runtime):
     """A video ending exactly on an I-frame (zero-P GOP) must decode."""
