@@ -162,6 +162,13 @@ class VideoCodec(nn.Module):
     def synthesize_residual(self, q_residual: jax.Array) -> jax.Array:
         return self.residual_decoder(q_residual, train=False)
 
+    def apply_mcn(
+        self, warped: jax.Array, flow: jax.Array, ref: jax.Array
+    ) -> jax.Array:
+        """Named inference entry for the MCN (so the runtime's apply shim
+        can dispatch on method identity; see models/fast_infer.py)."""
+        return self.motion_compensation_net(warped, flow, ref, train=False)
+
     def reconstruct_p_frame(
         self,
         previous_frame: jax.Array,  # (1, H, W, 3) original resolution

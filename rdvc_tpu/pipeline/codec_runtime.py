@@ -88,6 +88,23 @@ class CodecRuntime:
         )
         self.rans = RansCodec()
         self._apply = self.model.apply
+        # Lane-aligned inference graph (models/fast_infer.py): exact s2d
+        # weight rearrangements of the folded checkpoint that keep the
+        # full-resolution low-channel convs on 128-lane MXU tiles.
+        # RDVC_FAST_INFER=0 keeps the flax graph.
+        if (
+            self.cfg.norm == "none"
+            and os.environ.get("RDVC_FAST_INFER", "1") != "0"
+        ):
+            from rdvc_tpu.models.fast_infer import (
+                FastCodecApply,
+                build_fast_params,
+            )
+
+            self.variables["fast"] = build_fast_params(
+                self.variables["params"]
+            )
+            self._apply = FastCodecApply(self.cfg)
 
     # ------------------------------------------------------------------
     # Jitted device functions (cached per shape via functools.lru_cache on
@@ -118,13 +135,7 @@ class CodecRuntime:
 
     def _mc(self, variables, warped, flow, ref):
         return self._apply(
-            variables,
-            warped,
-            flow,
-            ref,
-            method=lambda m, w, f, r: m.motion_compensation_net(
-                w, f, r, train=False
-            ),
+            variables, warped, flow, ref, method=VideoCodec.apply_mcn
         )
 
     @functools.cached_property
@@ -835,10 +846,17 @@ class CodecRuntime:
                 rng, k = jax.random.split(rng)
                 eb_params, opt_state = step(eb_params, opt_state, k)
             params[key] = jax.device_get(eb_params)
-        self.variables = {
+        new_vars = {
             "params": params,
             "batch_stats": self.variables["batch_stats"],
         }
+        if "fast" in self.variables:
+            # Rebuild (cheap): calibration only touches the EB subtrees,
+            # but the fast tree must stay attached to the jit arg.
+            from rdvc_tpu.models.fast_infer import build_fast_params
+
+            new_vars["fast"] = build_fast_params(params)
+        self.variables = new_vars
         params_np = jax.tree_util.tree_map(np.asarray, params)
         self.motion_tables = build_cdf_tables(
             params_np["motion_entropy_bottleneck"]
