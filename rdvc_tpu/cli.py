@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--low_motion_replacement_threshold", type=float, default=None)
     p.add_argument("--json", action="store_true", help="print summary as JSON")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the run into this "
+                        "directory (view with tensorboard/xprof)")
     return p
 
 
@@ -86,16 +89,21 @@ def main(argv=None) -> int:
 
     dev = select_device(config.gpu)
     logging.getLogger(__name__).info("using device: %s", dev)
-    if args.mode == "encode":
-        from rdvc_tpu.pipeline.encode import encode_video
+    from rdvc_tpu.utils.timers import maybe_trace
 
-        summary = encode_video(config, max_frames=args.max_frames)
-        summary = {k: v for k, v in summary.items() if k != "metadata"}
-    else:
-        from rdvc_tpu.pipeline.decode import decode_video
+    with maybe_trace(args.trace_dir):
+        if args.mode == "encode":
+            from rdvc_tpu.pipeline.encode import encode_video
 
-        summary = decode_video(config)
-        summary = {"frames": summary["frames"], "timings": summary["timings"]}
+            summary = encode_video(config, max_frames=args.max_frames)
+            summary = {k: v for k, v in summary.items() if k != "metadata"}
+        else:
+            from rdvc_tpu.pipeline.decode import decode_video
+
+            summary = decode_video(config)
+            summary = {
+                "frames": summary["frames"], "timings": summary["timings"]
+            }
     if args.json:
         print(json.dumps(summary, default=str))
     else:
