@@ -197,3 +197,27 @@ def test_runtime_reconstruct_fast_vs_flax_bf16():
     np.testing.assert_allclose(
         np.asarray(m_f), np.asarray(m_s), atol=5e-2
     )
+
+
+def test_calibration_reattaches_fast_tree():
+    """calibrate_entropy_models rebuilds self.variables; the fast tree must
+    survive (a dropped 'fast' key would KeyError on the next dispatch)."""
+    from rdvc_tpu.config import ModelConfig
+    from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+
+    rng = np.random.RandomState(3)
+    rt = CodecRuntime(model_cfg=ModelConfig(), seed=0)
+    assert "fast" in rt.variables
+    rt.calibrate_entropy_models(
+        {
+            "motion": rng.randn(2, 4, 6, 128).astype(np.float32),
+            "residual": rng.randn(2, 4, 6, 192).astype(np.float32),
+        },
+        steps=2,
+    )
+    assert "fast" in rt.variables
+    prev = rng.rand(1, 32, 48, 3).astype(np.float32)
+    q_m = rng.randint(-2, 3, (1, 4, 6, 128)).astype(np.float32)
+    q_r = rng.randint(-2, 3, (1, 4, 6, 192)).astype(np.float32)
+    out = rt.reconstruct_p_frame(prev, q_m, q_r, (32, 48))
+    assert np.isfinite(np.asarray(out["reconstructed"])).all()
