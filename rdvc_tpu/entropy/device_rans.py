@@ -257,6 +257,28 @@ class DeviceRansEncoder:
             raise ValueError("expected (1, h, w, C) symbols")
         return self.encode_device_batch(sym_dev)
 
+    @property
+    def encode_consts(self):
+        """Device-resident table constants, passed as jit ARGUMENTS by the
+        fused encode path (baking them in as closure constants would go
+        stale when calibration rebuilds the tables)."""
+        return (self._start_rows, self._freq_rows, self._max_v, self._offs_s)
+
+    def encode_traced(self, sym_dev: jax.Array, consts):
+        """Traceable encode+flatten+meta-pack for embedding inside a larger
+        jit (jit-of-jit inlines): (B, h, w, C) int symbols ->
+        ((B, L*S) stream-major words, (B, 2S+2) packed meta, L)."""
+        start_rows, freq_rows, max_v, offs_s = consts
+        B, h, w, c = sym_dev.shape
+        hw = h * w
+        sym = sym_dev.reshape(B, hw, c).astype(jnp.int32)
+        words, flags, states, esc = _encode_ca_batch_kernel(
+            sym, start_rows, freq_rows, max_v, offs_s, self.K, hw
+        )
+        flat_words, lengths, totals = _flatten_batch_kernel(words, flags)
+        meta = _pack_assemble_meta(lengths, totals, states, esc)
+        return flat_words, meta, words.shape[1]
+
     def encode_device_batch(self, sym_dev: jax.Array):
         """sym_dev: (B, h, w, C) int device array of symbols
         (round(y - median)). TWO device dispatches for the whole batch.
@@ -298,18 +320,34 @@ class DeviceRansEncoder:
         meta = np.asarray(
             _pack_assemble_meta(lengths, totals, states, esc)
         )                                           # (B, 2S+2) uint32
-        lens = meta[:, :S]
-        states_np = meta[:, S : 2 * S]              # (B, S)
-        totals_np = meta[:, 2 * S]
-        esc_np = meta[:, 2 * S + 1]
-        B = lens.shape[0]
+        words_np = self.download_word_prefix(flat_words, meta)
+        return self.assemble_batch_np(words_np, meta, n_symbols, stream_len)
+
+    def download_word_prefix(self, flat_words, meta_np) -> np.ndarray:
+        """Bucketed word-prefix download: only the valid prefix columns of
+        the (B, L*S) stream-major word grid travel over the link."""
+        S = self.num_streams
+        totals_np = meta_np[:, 2 * S]
+        B = meta_np.shape[0]
         cap = flat_words.shape[1]
         max_total = int(totals_np.max()) if totals_np.size else 0
         cols = min(_bucket(max_total), cap)
         if cols:
-            words_np = np.asarray(flat_words[:, :cols])  # (B, cols)
-        else:
-            words_np = np.zeros((B, 0), np.uint16)
+            return np.asarray(flat_words[:, :cols])  # (B, cols)
+        return np.zeros((B, 0), np.uint16)
+
+    def assemble_batch_np(
+        self, words_np, meta_np, n_symbols, stream_len
+    ) -> List[Optional[bytes]]:
+        """Pure-host splice from already-downloaded words + packed meta
+        (see _pack_assemble_meta layout). Used by assemble_batch and by the
+        fused encode path that downloads motion+residual meta in one trip."""
+        S = self.num_streams
+        lens = meta_np[:, :S]
+        states_np = meta_np[:, S : 2 * S]            # (B, S)
+        totals_np = meta_np[:, 2 * S]
+        esc_np = meta_np[:, 2 * S + 1]
+        B = lens.shape[0]
 
         out: List[Optional[bytes]] = []
         for b in range(B):

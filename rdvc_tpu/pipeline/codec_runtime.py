@@ -348,6 +348,108 @@ class CodecRuntime:
         )
 
     # ------------------------------------------------------------------
+    # Fully-fused coded encode: chain -> symbols -> channel-aligned rANS16
+    # -> flattened word grids + ONE packed meta array, all in ONE dispatch.
+    # The staged path costs ~5 dispatches + 4 meta/word downloads per
+    # flush; every relay round trip blocks behind queued device work, so
+    # collapsing them is worth more than any kernel micro-win (CLAUDE.md).
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _fused_encode_chain_coded_fn(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("raft_hw", "comp_hw_flow", "comp_hw_res",
+                             "i420"),
+        )
+        def fn(
+            variables, raft_variables, m_consts, r_consts, chain,
+            raft_hw, comp_hw_flow, comp_hw_res, i420,
+        ):
+            # K/S/L depend only on the (fixed) channel counts, so the
+            # traced shape is stable across entropy recalibrations; the
+            # CDF rows travel as arguments, never as baked-in constants.
+            menc, renc = self._device_encoders
+            rgb = self._i420_to_rgb_traced(chain) if i420 else chain
+            m_sym, r_sym = self._encode_body(
+                variables, raft_variables, rgb[:-1], rgb[1:],
+                raft_hw, comp_hw_flow, comp_hw_res,
+            )
+            m_flat, m_meta, _ = menc.encode_traced(m_sym, m_consts)
+            r_flat, r_meta, _ = renc.encode_traced(r_sym, r_consts)
+            meta_all = jnp.concatenate([m_meta, r_meta], axis=1)
+            return m_flat, r_flat, meta_all, m_sym, r_sym
+
+        return fn
+
+    def encode_pframes_chain_coded(
+        self,
+        chain,
+        raft_hw: Tuple[int, int],
+        comp_hw_flow: Tuple[int, int],
+        comp_hw_res: Tuple[int, int],
+        i420: bool = False,
+    ):
+        """Chain-batched P-frame encode + device entropy coding in ONE
+        device dispatch. `chain`: (B+1, H, W, 3) uint8 RGB frames, or raw
+        I420 planes (B+1, H*3/2, W) when i420=True. Returns opaque handles
+        for assemble_frames_coded()."""
+        if not hasattr(self, "_raft_model"):
+            raise RuntimeError("attach_raft() first")
+        menc, renc = self._device_encoders
+        m_flat, r_flat, meta_all, m_sym, r_sym = (
+            self._fused_encode_chain_coded_fn(
+                self.variables, self._raft_variables,
+                menc.encode_consts, renc.encode_consts,
+                jnp.asarray(chain),
+                tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+                i420,
+            )
+        )
+        return m_flat, r_flat, meta_all, m_sym, r_sym
+
+    def assemble_frames_coded(self, handles, n_real: Optional[int] = None):
+        """Host side of the fused coded encode: ONE meta download covering
+        both payload kinds, then one bucketed word-prefix download per kind
+        (3 relay round trips per flush vs the staged path's ~8). Escaped
+        frames fall back to the host coder on downloaded symbols."""
+        m_flat, r_flat, meta_all, m_sym, r_sym = handles
+        menc, renc = self._device_encoders
+        meta_np = np.asarray(meta_all)              # the single meta trip
+        wm = 2 * menc.num_streams + 2
+        m_meta = meta_np[:, :wm]
+        r_meta = meta_np[:, wm:]
+        m_words = menc.download_word_prefix(m_flat, m_meta)
+        r_words = renc.download_word_prefix(r_flat, r_meta)
+        m_shape = (m_sym.shape[1], m_sym.shape[2])
+        r_shape = (r_sym.shape[1], r_sym.shape[2])
+        hw_m = m_shape[0] * m_shape[1]
+        hw_r = r_shape[0] * r_shape[1]
+        from rdvc_tpu.entropy.device_rans import ca_stream_len
+
+        m_list = menc.assemble_batch_np(
+            m_words, m_meta, hw_m * m_sym.shape[3],
+            ca_stream_len(hw_m, menc.K),
+        )
+        r_list = renc.assemble_batch_np(
+            r_words, r_meta, hw_r * r_sym.shape[3],
+            ca_stream_len(hw_r, renc.K),
+        )
+        n = len(m_list) if n_real is None else min(n_real, len(m_list))
+        out = []
+        for i in range(n):
+            m_bs, r_bs = m_list[i], r_list[i]
+            if m_bs is None:
+                m_bs, _ = self.compress_motion_symbols(
+                    np.asarray(m_sym[i : i + 1])
+                )
+            if r_bs is None:
+                r_bs, _ = self.compress_residual_symbols(
+                    np.asarray(r_sym[i : i + 1])
+                )
+            out.append((m_bs, m_shape, r_bs, r_shape))
+        return out
+
+    # ------------------------------------------------------------------
     # Compact symbol download: per-channel uint8/uint16 split keyed on the
     # CDF-table support (static layout -> one compiled pack fn). Channels
     # whose table span fits a byte travel as uint8 — about half the bytes

@@ -179,6 +179,19 @@ def encode_video(
             log.exception("device entropy coding failed; host fallback")
             return download_only(n_real, m_sym, r_sym)
 
+    def assemble_coded(n_real, handles):
+        """io_pool worker for the fully-fused coded encode: all device work
+        already happened in the flush dispatch; only the meta + word-prefix
+        downloads (3 relay round trips) remain. Failure degrades to the
+        symbol-download + host-coder path on the symbols kept in handles."""
+        try:
+            with timer.span("payload_download"):
+                results = runtime.assemble_frames_coded(handles, n_real)
+            return [rans_pool.submit(lambda v=v: v) for v in results]
+        except Exception:
+            log.exception("fused payload assembly failed; host fallback")
+            return download_only(n_real, handles[3], handles[4])
+
     def drain_pending():
         """Block until all in-flight batches are coded; write them in order."""
         nonlocal inflight
@@ -200,6 +213,8 @@ def encode_video(
         contiguous = all(
             indices[i + 1] == indices[i] + 1 for i in range(len(indices) - 1)
         )
+        device_coding = getattr(config, "device_entropy_coding", False)
+        coded_handles = None
         with timer.span("pframe_dispatch"):
             if contiguous:
                 # Consecutive P-frames share boundary frames: upload the
@@ -212,12 +227,27 @@ def encode_video(
                     + [b[2] for b in batch]
                     + [batch[-1][2]] * (B - len(batch))
                 )
-                enc_chain = (
-                    runtime.encode_pframes_chain_i420
-                    if planes_mode
-                    else runtime.encode_pframes_chain
-                )
-                m_sym, r_sym = enc_chain(chain, raft_hw, flow_hw, res_hw)
+                if device_coding:
+                    # Fully-fused path: model compute + device entropy
+                    # coding in ONE dispatch (the staged path's extra
+                    # dispatches each block behind queued device work
+                    # through the relay).
+                    try:
+                        coded_handles = runtime.encode_pframes_chain_coded(
+                            chain, raft_hw, flow_hw, res_hw,
+                            i420=planes_mode,
+                        )
+                    except Exception:
+                        log.exception(
+                            "fused coded encode failed; staged fallback"
+                        )
+                if coded_handles is None:
+                    enc_chain = (
+                        runtime.encode_pframes_chain_i420
+                        if planes_mode
+                        else runtime.encode_pframes_chain
+                    )
+                    m_sym, r_sym = enc_chain(chain, raft_hw, flow_hw, res_hw)
             else:
                 prevs = np.stack([to_rgb(b[1]) for b in batch])
                 curs = np.stack([to_rgb(b[2]) for b in batch])
@@ -232,14 +262,16 @@ def encode_video(
                 m_sym, r_sym = runtime.encode_pframes_batched(
                     prevs, curs, raft_hw, flow_hw, res_hw
                 )
+        n_real = len(batch)
         batch.clear()
-        worker = (
-            device_code_batch
-            if getattr(config, "device_entropy_coding", False)
-            else download_only
-        )
+        if coded_handles is not None:
+            inflight.append(
+                (indices, io_pool.submit(assemble_coded, n_real, coded_handles))
+            )
+            return
+        worker = device_code_batch if device_coding else download_only
         inflight.append(
-            (indices, io_pool.submit(worker, len(indices), m_sym, r_sym))
+            (indices, io_pool.submit(worker, n_real, m_sym, r_sym))
         )
 
     def flush_pending_single():

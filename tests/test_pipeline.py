@@ -309,3 +309,29 @@ def test_select_device_gpu_flag():
     # Restore the CPU default for the rest of the suite.
     select_device(None)
     assert jax.config.jax_default_device.platform == "cpu"
+
+
+def test_fused_coded_encode_matches_staged(runtime):
+    """The single-dispatch coded encode (encode_pframes_chain_coded +
+    assemble_frames_coded) must emit byte-identical payloads to the staged
+    path (chain encode -> encode_frames_device_rans -> assemble_frames)."""
+    from rdvc_tpu.models.raft import RaftRunner
+
+    runner = RaftRunner(iters=2, spatial=(32, 48))
+    runtime.attach_raft(runner.model, runner.variables)
+    rng = np.random.RandomState(5)
+    chain = rng.randint(0, 256, (4, 64, 96, 3), dtype=np.uint8)
+    hw = ((32, 48), (64, 96), (64, 96))
+
+    handles = runtime.encode_pframes_chain_coded(chain, *hw)
+    fused = runtime.assemble_frames_coded(handles, 3)
+
+    m_sym, r_sym = runtime.encode_pframes_chain(chain, *hw)
+    staged = runtime.assemble_frames(
+        runtime.encode_frames_device_rans(m_sym, r_sym), 3
+    )
+    assert len(fused) == len(staged) == 3
+    for f, s in zip(fused, staged):
+        assert f[1] == s[1] and f[3] == s[3]  # shapes
+        assert f[0] == s[0], "motion payload bytes differ"
+        assert f[2] == s[2], "residual payload bytes differ"
