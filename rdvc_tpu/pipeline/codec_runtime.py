@@ -700,6 +700,35 @@ class CodecRuntime:
 
         return fn
 
+    def _scan_steps(
+        self, variables, prev_raw, prev_post, iframe, q_m_T, q_r_T,
+        lmr_threshold, iir_alpha, target_hw, emit_i420,
+    ):
+        """Traced lax.scan over T frame steps: carries the per-GOP-row
+        recurrence state; emits the packed uint8 frames for every step.
+        q_*_T: (T, B, h, w, C) int symbol stacks. Shared by the plain and
+        the fused (entropy-decode-included) scan entry points."""
+
+        def step(carry, qs):
+            state_raw, pprev = carry
+            q_m, q_r = qs
+            raw, post = self._decode_step_body(
+                variables, state_raw, q_m, q_r, pprev, iframe,
+                lmr_threshold, iir_alpha, target_hw,
+            )
+            if emit_i420:
+                u8 = self._rgb_to_i420_traced(post)
+            else:
+                u8 = jnp.clip(post * 255.0 + 0.5, 0, 255).astype(
+                    jnp.uint8
+                )
+            return (raw, post), u8
+
+        (raw_f, post_f), u8_T = jax.lax.scan(
+            step, (prev_raw, prev_post), (q_m_T, q_r_T)
+        )
+        return raw_f, post_f, u8_T
+
     @functools.cached_property
     def _scan_decode_fn(self):
         @functools.partial(
@@ -709,31 +738,87 @@ class CodecRuntime:
             variables, prev_raw, prev_post, iframe, q_m_T, q_r_T,
             lmr_threshold, iir_alpha, target_hw, emit_i420,
         ):
-            """lax.scan over T frame steps in ONE dispatch: carries the
-            per-GOP-row recurrence state; emits the packed uint8 frames for
-            every step. q_*_T: (T, B, h, w, C) int16 symbol stacks."""
-
-            def step(carry, qs):
-                state_raw, pprev = carry
-                q_m, q_r = qs
-                raw, post = self._decode_step_body(
-                    variables, state_raw, q_m, q_r, pprev, iframe,
-                    lmr_threshold, iir_alpha, target_hw,
-                )
-                if emit_i420:
-                    u8 = self._rgb_to_i420_traced(post)
-                else:
-                    u8 = jnp.clip(post * 255.0 + 0.5, 0, 255).astype(
-                        jnp.uint8
-                    )
-                return (raw, post), u8
-
-            (raw_f, post_f), u8_T = jax.lax.scan(
-                step, (prev_raw, prev_post), (q_m_T, q_r_T)
+            return self._scan_steps(
+                variables, prev_raw, prev_post, iframe, q_m_T, q_r_T,
+                lmr_threshold, iir_alpha, target_hw, emit_i420,
             )
-            return raw_f, post_f, u8_T
 
         return fn
+
+    @functools.cached_property
+    def _scan_decode_coded_fn(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=(
+                "m_stat", "r_stat", "n_t", "target_hw", "emit_i420"
+            ),
+        )
+        def fn(
+            variables, prev_raw, prev_post, iframe,
+            m_grid, r_grid, m_rows, m_offs, r_rows, r_offs,
+            lmr_threshold, iir_alpha,
+            m_stat, r_stat, n_t, target_hw, emit_i420,
+        ):
+            """Entropy decode + T-step scan in ONE dispatch: the compressed
+            word grids ride the call as arguments (the symbols never exist
+            off-device), replacing the staged path's two decode-kernel
+            dispatches + stack reshuffle per chunk. m_stat/r_stat =
+            (K, L, hw, h, w) static layout from the payload headers."""
+            from rdvc_tpu.entropy.device_rans import _decode_ca_batch_kernel
+
+            B = prev_raw.shape[0]
+
+            def symbols(grid, rows, offs, stat, channels):
+                K, L, hw, h, w = stat
+                sym = _decode_ca_batch_kernel(grid, rows, offs, K, L, hw)
+                return sym.reshape(n_t, B, h, w, channels)
+
+            q_m_T = symbols(
+                m_grid, m_rows, m_offs, m_stat,
+                self.motion_tables.medians.shape[0],
+            )
+            q_r_T = symbols(
+                r_grid, r_rows, r_offs, r_stat,
+                self.residual_tables.medians.shape[0],
+            )
+            return self._scan_steps(
+                variables, prev_raw, prev_post, iframe, q_m_T, q_r_T,
+                lmr_threshold, iir_alpha, target_hw, emit_i420,
+            )
+
+        return fn
+
+    def decode_pframes_scan_coded(
+        self, prev_raw, prev_post, iframe, m_payloads, r_payloads,
+        m_shape, r_shape, lmr_threshold, iir_alpha, target_hw, emit_i420,
+        n_t: int,
+    ):
+        """Fused chunk decode: channel-aligned payload bytes in, post-
+        processed frames out, one device dispatch (entropy decode + scan).
+        Payload lists are (n_t * B) long, t-major. Raises ValueError on
+        non-CA payloads (callers fall back to the staged scan path)."""
+        from rdvc_tpu.entropy.device_rans import CA_TAG
+
+        if getattr(self, "_gop_sharding", None) is not None:
+            raise ValueError("gop mesh decode uses the staged scan path")
+        if any(not p or p[0] != CA_TAG for p in m_payloads) or any(
+            not p or p[0] != CA_TAG for p in r_payloads
+        ):
+            raise ValueError("non-chunked payload; host decode required")
+        mdec, rdec = self._device_decoders
+        m_grid, m_ns, m_L = mdec.prepare_grids(list(m_payloads))
+        r_grid, r_ns, r_L = rdec.prepare_grids(list(r_payloads))
+        m_rows, m_offs, m_K = mdec._ca_rows(m_grid.shape[2])
+        r_rows, r_offs, r_K = rdec._ca_rows(r_grid.shape[2])
+        m_stat = (m_K, m_L, m_ns // mdec._C, int(m_shape[0]), int(m_shape[1]))
+        r_stat = (r_K, r_L, r_ns // rdec._C, int(r_shape[0]), int(r_shape[1]))
+        return self._scan_decode_coded_fn(
+            self.variables, jnp.asarray(prev_raw), prev_post, iframe,
+            m_grid, r_grid, m_rows, m_offs, r_rows, r_offs,
+            jnp.float32(lmr_threshold), jnp.float32(iir_alpha),
+            m_stat, r_stat, int(n_t),
+            tuple(int(v) for v in target_hw), bool(emit_i420),
+        )
 
     def decode_pframes_scan(
         self, prev_raw, prev_post, iframe, q_m_T, q_r_T,

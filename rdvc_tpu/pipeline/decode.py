@@ -538,22 +538,47 @@ def _decode_gop_batched(
         for ci, chunk in enumerate(chunks):
             t0 = ci * chunk_t
             n_t = min(chunk_t, max_len - t0)
-            with timer.span("rans_decode"):
-                m_stack, r_stack = chunk.stacks()
-            # The last chunk scans its padded dummy steps too (one compiled
-            # shape); their outputs and the post-group carry are discarded.
-            with timer.span("decode_dispatch"):
-                m_T = jnp.asarray(m_stack).reshape(
-                    (chunk_t, B) + m_stack.shape[1:]
-                )
-                r_T = jnp.asarray(r_stack).reshape(
-                    (chunk_t, B) + r_stack.shape[1:]
-                )
-                state_raw, prev_post, u8_T = runtime.decode_pframes_scan(
-                    state_raw, prev_post, iframe, m_T, r_T,
-                    config.low_motion_replacement_threshold, 0.0,
-                    (height, width), use_i420,
-                )
+            # Fused path: entropy decode + scan in ONE dispatch (payload
+            # words ride the call). The staged path below costs two extra
+            # decode-kernel dispatches per chunk, and through the relay
+            # every round trip blocks behind queued device work.
+            fused = None
+            try:
+                items = list(chunk.items)
+                while len(items) < chunk_t * B:  # pad to the compiled shape
+                    items.append(items[-1])
+                with timer.span("decode_dispatch"):
+                    fused = runtime.decode_pframes_scan_coded(
+                        state_raw, prev_post, iframe,
+                        [it[2] for it in items], [it[4] for it in items],
+                        items[0][1], items[0][3],
+                        config.low_motion_replacement_threshold, 0.0,
+                        (height, width), use_i420, chunk_t,
+                    )
+            except ValueError:
+                pass  # host-coded payloads or gop mesh: staged path
+            if fused is not None:
+                state_raw, prev_post, u8_T = fused
+            else:
+                with timer.span("rans_decode"):
+                    m_stack, r_stack = chunk.stacks()
+                # The last chunk scans its padded dummy steps too (one
+                # compiled shape); their outputs and the post-group carry
+                # are discarded.
+                with timer.span("decode_dispatch"):
+                    m_T = jnp.asarray(m_stack).reshape(
+                        (chunk_t, B) + m_stack.shape[1:]
+                    )
+                    r_T = jnp.asarray(r_stack).reshape(
+                        (chunk_t, B) + r_stack.shape[1:]
+                    )
+                    state_raw, prev_post, u8_T = (
+                        runtime.decode_pframes_scan(
+                            state_raw, prev_post, iframe, m_T, r_T,
+                            config.low_motion_replacement_threshold, 0.0,
+                            (height, width), use_i420,
+                        )
+                    )
             # Download of the previous chunk overlaps this chunk's compute.
             drain_download()
             try:

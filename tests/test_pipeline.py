@@ -335,3 +335,47 @@ def test_fused_coded_encode_matches_staged(runtime):
         assert f[1] == s[1] and f[3] == s[3]  # shapes
         assert f[0] == s[0], "motion payload bytes differ"
         assert f[2] == s[2], "residual payload bytes differ"
+
+
+def test_fused_scan_decode_matches_staged(runtime):
+    """Escape-free CA payloads through the fused entropy-decode+scan
+    dispatch must produce frames identical to the staged path
+    (decode_payloads_device -> decode_pframes_scan)."""
+    rng = np.random.RandomState(9)
+    T, B, h, w = 2, 2, 4, 6
+    H, W = 32, 48
+
+    def in_range(tables, c, seed):
+        r = np.random.RandomState(seed)
+        max_v = tables.cdf_length - 2
+        lo = tables.offset
+        out = np.empty((T * B, h, w, c), np.int32)
+        for ch in range(c):
+            out[..., ch] = r.randint(lo[ch], lo[ch] + max_v[ch], (T * B, h, w))
+        return out
+
+    m_sym = in_range(runtime.motion_tables, 128, 1)
+    r_sym = in_range(runtime.residual_tables, 192, 2)
+    payloads = runtime.assemble_frames(
+        runtime.encode_frames_device_rans(
+            jnp.asarray(m_sym), jnp.asarray(r_sym)
+        )
+    )
+    assert all(p[0] is not None and p[2] is not None for p in payloads)
+    m_pl = [p[0] for p in payloads]
+    r_pl = [p[2] for p in payloads]
+
+    prev = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+    fused = runtime.decode_pframes_scan_coded(
+        prev, prev, prev, m_pl, r_pl, (h, w), (h, w),
+        0.0, 0.0, (H, W), False, T,
+    )
+    m_dev = runtime.decode_payloads_device(m_pl, "motion", (h, w))
+    r_dev = runtime.decode_payloads_device(r_pl, "residual", (h, w))
+    staged = runtime.decode_pframes_scan(
+        prev, prev, prev,
+        m_dev.reshape(T, B, h, w, 128), r_dev.reshape(T, B, h, w, 192),
+        0.0, 0.0, (H, W), False,
+    )
+    for f, s in zip(fused, staged):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
