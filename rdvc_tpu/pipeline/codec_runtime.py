@@ -424,15 +424,15 @@ class CodecRuntime:
         r_shape = (r_sym.shape[1], r_sym.shape[2])
         hw_m = m_shape[0] * m_shape[1]
         hw_r = r_shape[0] * r_shape[1]
-        from rdvc_tpu.entropy.device_rans import ca_stream_len
+        from rdvc_tpu.entropy.device_rans import ca_layout
 
+        _, _, len_m = ca_layout(m_sym.shape[3], hw_m, menc.target_streams)
+        _, _, len_r = ca_layout(r_sym.shape[3], hw_r, renc.target_streams)
         m_list = menc.assemble_batch_np(
-            m_words, m_meta, hw_m * m_sym.shape[3],
-            ca_stream_len(hw_m, menc.K),
+            m_words, m_meta, hw_m * m_sym.shape[3], len_m
         )
         r_list = renc.assemble_batch_np(
-            r_words, r_meta, hw_r * r_sym.shape[3],
-            ca_stream_len(hw_r, renc.K),
+            r_words, r_meta, hw_r * r_sym.shape[3], len_r
         )
         n = len(m_list) if n_real is None else min(n_real, len(m_list))
         out = []
