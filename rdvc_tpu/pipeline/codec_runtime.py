@@ -246,9 +246,20 @@ class CodecRuntime:
         """
         if not hasattr(self, "_raft_model"):
             raise RuntimeError("attach_raft() first")
+        prev_u8 = jnp.asarray(prev_u8)
+        cur_u8 = jnp.asarray(cur_u8)
+        # Multi-chip encode: P-frames are independent at encode time
+        # (ground-truth prediction), so batch rows shard over the `gop`
+        # mesh with zero cross-device communication — the encode-side
+        # mirror of the sharded decode scan (SURVEY §2.11).
+        sh = getattr(self, "_gop_sharding", None)
+        if sh is not None and prev_u8.shape[0] % self._gop_mesh.size == 0:
+            prev_u8, cur_u8 = (
+                jax.device_put(x, sh) for x in (prev_u8, cur_u8)
+            )
         return self._fused_encode_fn(
             self.variables, self._raft_variables,
-            jnp.asarray(prev_u8), jnp.asarray(cur_u8),
+            prev_u8, cur_u8,
             tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
         )
 
@@ -902,6 +913,10 @@ class CodecRuntime:
         self.variables = jax.device_put(
             self.variables, NamedSharding(mesh, P())
         )
+        if hasattr(self, "_raft_variables"):
+            self._raft_variables = jax.device_put(
+                self._raft_variables, NamedSharding(mesh, P())
+            )
 
     def decode_pframe_fused(
         self,
