@@ -90,6 +90,10 @@ class CodecConfig:
     # Shard the GOP batch rows over the first N devices (a 1-D `gop` mesh;
     # SURVEY §2.11 GOP-parallelism). 1 = single device.
     decode_gop_devices: int = 1
+    # Shard the encode P-frame batch rows over N devices (same `gop` mesh;
+    # uses prev/cur stacks instead of the shared-boundary chain, so uploads
+    # double — worth it only when multiple chips are actually available).
+    encode_gop_devices: int = 1
 
     # Decoder specific
     input_rdvc_file: str = "./compressed_video.rdvc"

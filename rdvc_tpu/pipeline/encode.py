@@ -137,6 +137,23 @@ def encode_video(
     if config.iframe_interval > 1:
         batch_size = min(batch_size, config.iframe_interval - 1)
 
+    # Multi-chip encode: shard the batch rows over a `gop` mesh. The
+    # shared-boundary chain cannot shard (its pairs overlap), so mesh mode
+    # uses prev/cur stacks via encode_pframes_batched.
+    encode_mesh = False
+    enc_devices = max(1, getattr(config, "encode_gop_devices", 1))
+    if use_fused and enc_devices > 1:
+        import jax
+
+        from rdvc_tpu.parallel.mesh import make_data_mesh
+
+        n = min(enc_devices, len(jax.devices()))
+        if n > 1:
+            if batch_size % n:
+                batch_size = ((batch_size + n - 1) // n) * n
+            runtime.set_gop_mesh(make_data_mesh(n, axis_name="gop"))
+            encode_mesh = True
+
     writer = RdvcWriter(config.output_rdvc_file)
     rans_pool = ThreadPoolExecutor(max_workers=max(1, config.rans_threads))
     io_pool = ThreadPoolExecutor(max_workers=1)  # serializes downloads
@@ -210,7 +227,7 @@ def encode_video(
             return
         indices = [b[0] for b in batch]
         B = batch_size
-        contiguous = all(
+        contiguous = not encode_mesh and all(
             indices[i + 1] == indices[i] + 1 for i in range(len(indices) - 1)
         )
         device_coding = getattr(config, "device_entropy_coding", False)
@@ -342,6 +359,8 @@ def encode_video(
         flush_pending_single()
     rans_pool.shutdown()
     io_pool.shutdown()
+    if encode_mesh:
+        runtime.set_gop_mesh(None)
 
     metadata = {
         "rdvc_version": "1.0",

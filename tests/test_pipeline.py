@@ -416,3 +416,26 @@ def test_gop_mesh_sharded_encode_matches_single(runtime):
             assert (diff != 0).mean() < 0.01, (diff != 0).mean()
     finally:
         runtime.set_gop_mesh(None)
+
+
+@pytest.mark.slow
+def test_encode_gop_devices_roundtrip(tmp_path, runtime):
+    """End-to-end encode with the P-frame batch sharded over 2 devices
+    (encode_gop_devices) must produce a decodable bitstream."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    in_path, _ = _make_video(tmp_path, n=8)
+    config = _small_config(tmp_path, in_path)
+    config.raft_backend = "raft"
+    config.raft_resize_height = 32
+    config.raft_resize_width = 48
+    config.raft_iters = 2
+    config.encode_gop_devices = 2
+    enc = encode_video(config, runtime=runtime)
+    assert enc["frames"] == 8
+    assert runtime._gop_mesh is None  # mesh reset after encode
+    dec = decode_video(config, runtime=runtime, collect_frames=True)
+    assert dec["frames"] == 8
+    assert all(np.isfinite(f).all() for f in dec["decoded_frames"])
