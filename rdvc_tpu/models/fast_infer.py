@@ -203,8 +203,8 @@ def _prep_analysis(p: dict, dtype) -> dict:
     n_cna = len([k for k in p if re.fullmatch(r"ConvNormAct_\d+", k)])
     stem_w, stem_b = _cna(p["ConvNormAct_0"])
     down_w, down_b = _cna(p["ConvNormAct_1"])
-    sw, sp = conv_s1_weights_to_s2d(stem_w)
-    dw, dp = conv_s2_weights_to_s2d(down_w)
+    sw, _ = conv_s1_weights_to_s2d(stem_w)
+    dw, _ = conv_s2_weights_to_s2d(down_w)
     cast = lambda a: jnp.asarray(a, dtype)
     return {
         "s2d": {
@@ -234,9 +234,9 @@ def _prep_synthesis(p: dict, dtype) -> dict:
     n_up = len([k for k in p if re.fullmatch(r"ConvTransposeNormAct_\d+", k)])
     ups = [_cna_t(p[f"ConvTransposeNormAct_{i}"]) for i in range(n_up)]
     last_w, last_b = ups[-1]
-    uw, upad = convT_s2_weights_to_subpixel(last_w)
+    uw, _ = convT_s2_weights_to_subpixel(last_w)
     out_w, out_b = _cna(p["Conv_0"])
-    ow, opad = conv_s1_weights_to_s2d(out_w)
+    ow, _ = conv_s1_weights_to_s2d(out_w)
     cast = lambda a: jnp.asarray(a, dtype)
     return {
         "head": tuple(map(cast, _cna(p["ConvNormAct_0"]))),
@@ -262,8 +262,8 @@ def _prep_mcn(p: dict, dtype) -> dict:
     of it is full-resolution at <=32 channels)."""
     stem_w, stem_b = _cna(p["ConvNormAct_0"])
     out_w, out_b = _cna(p["Conv_0"])
-    sw, sp = conv_s1_weights_to_s2d(stem_w)
-    ow, op = conv_s1_weights_to_s2d(out_w)
+    sw, _ = conv_s1_weights_to_s2d(stem_w)
+    ow, _ = conv_s1_weights_to_s2d(out_w)
     cast = lambda a: jnp.asarray(a, dtype)
     return {
         "s2d": {
