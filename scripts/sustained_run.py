@@ -36,7 +36,8 @@ from rdvc_tpu.pipeline.decode import decode_video
 from rdvc_tpu.pipeline.encode import encode_video
 
 N = int(os.environ.get("SUST_FRAMES", "600"))
-H, W = 1080, 1920
+H = int(os.environ.get("SUST_H", "1080"))
+W = int(os.environ.get("SUST_W", "1920"))
 
 
 def rss_mb() -> float:
@@ -72,8 +73,8 @@ with tempfile.TemporaryDirectory() as td:
     config.input_yuv_width = W
     config.input_yuv_height = H
     config.iframe_interval = 32  # jockey.txt setting -> ~19 GOPs at 600
-    config.flow_compress_height = 1080
-    config.residual_compress_height = 1080
+    config.flow_compress_height = H
+    config.residual_compress_height = H
     config.decode_gop_batch = 2
     config.raft_backend = "raft"
     config.raft_checkpoint_path = "checkpoints/demo_raft.ckpt"
@@ -138,16 +139,28 @@ with tempfile.TemporaryDirectory() as td:
         },
     })
 
-    # PSNR drift per frame (streamed; nothing held in RAM).
+    # PSNR drift per frame (streamed; nothing held in RAM) + decimated
+    # MS-SSIM (the jockey.txt JSON reports ms_ssim_avg; every 10th frame
+    # bounds the metric pass's upload through the relay).
+    from rdvc_tpu.ops.metrics import ms_ssim
+    import jax.numpy as jnp
+
     src_it = read_yuv420p_frames(yuv, W, H)
     rec_it = read_yuv420p_frames(config.output_video_path_decode, W, H)
-    psnrs = []
-    for a, b in zip(src_it, rec_it):
+    psnrs, msssims = [], []
+    for i, (a, b) in enumerate(zip(src_it, rec_it)):
         mse = np.mean(
             np.square(a.astype(np.float32) - b.astype(np.float32))
         )
         psnrs.append(float(10 * np.log10(255.0 ** 2 / max(mse, 1e-9))))
+        if i % 10 == 0 and min(H, W) > 160:  # 5-scale pyramid minimum
+            msssims.append(float(ms_ssim(
+                jnp.asarray(a[None], jnp.float32) / 255.0,
+                jnp.asarray(b[None], jnp.float32) / 255.0,
+            )[0]))
     report["psnr_avg_db"] = round(float(np.mean(psnrs)), 3)
+    if msssims:
+        report["ms_ssim_avg_decimated10"] = round(float(np.mean(msssims)), 4)
     report["psnr_first100_db"] = round(float(np.mean(psnrs[:100])), 3)
     report["psnr_last100_db"] = round(float(np.mean(psnrs[-100:])), 3)
     # within-GOP drift: average PSNR by position in the GOP
