@@ -87,10 +87,13 @@ def quick_device_profile(
     scan_fn = runtime._scan_decode_fn
     scan_out = scan_fn(*scan_args)
     t_dec = time_device(lambda: scan_fn(*scan_args), iters)
+    # XLA's cost analysis counts a lax.scan body ONCE regardless of T
+    # (verified empirically), so the compiled cost is one T-step's worth
+    # (all G rows): x T for the whole dispatch, / G for per-frame.
     c_dec = compiled_cost(scan_fn, *scan_args)
     out["decode_device_ms_per_frame"] = round(t_dec / (T * G) * 1e3, 1)
-    out["decode_flops_per_frame"] = c_dec["flops"] / (T * G)
-    out["decode_mfu"] = round(mfu(c_dec["flops"], t_dec), 4)
+    out["decode_flops_per_frame"] = c_dec["flops"] / G
+    out["decode_mfu"] = round(mfu(c_dec["flops"] * T, t_dec), 4)
 
     down = time_transfer_down(scan_out[2], iters=iters)
     out["downlink_mb_per_s"] = round(down["mb_per_s"], 1)

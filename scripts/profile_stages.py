@@ -209,11 +209,13 @@ scan_args = (
 )
 out = runtime._scan_decode_fn(*scan_args)
 t = time_device(lambda: runtime._scan_decode_fn(*scan_args), ITERS)
+# XLA cost analysis counts the scan body ONCE regardless of T: the
+# compiled cost is one step's worth (all G rows).
 c = compiled_cost(runtime._scan_decode_fn, *scan_args)
 n_f = T * G
 log("decode_scan", {
     "s_per_dispatch": t, "ms_per_frame": t / n_f * 1e3,
-    "flops_per_frame": c["flops"] / n_f, "mfu": mfu(c["flops"], t),
+    "flops_per_frame": c["flops"] / G, "mfu": mfu(c["flops"] * T, t),
 })
 
 # reconstruct only (no post stages)
