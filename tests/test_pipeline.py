@@ -439,3 +439,24 @@ def test_encode_gop_devices_roundtrip(tmp_path, runtime):
     dec = decode_video(config, runtime=runtime, collect_frames=True)
     assert dec["frames"] == 8
     assert all(np.isfinite(f).all() for f in dec["decoded_frames"])
+
+
+def test_fused_coded_encode_dispatch_failure_falls_back(
+    tmp_path, runtime, monkeypatch
+):
+    """If the fused coded-encode dispatch raises, flush_batch must degrade
+    to the staged chain path and still produce a decodable bitstream."""
+    def boom(*a, **k):
+        raise RuntimeError("injected dispatch failure")
+
+    monkeypatch.setattr(runtime, "encode_pframes_chain_coded", boom)
+    in_path, _ = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    config.raft_backend = "raft"
+    config.raft_resize_height = 32
+    config.raft_resize_width = 48
+    config.raft_iters = 2
+    enc = encode_video(config, runtime=runtime)
+    assert enc["frames"] == 6
+    dec = decode_video(config, runtime=runtime, collect_frames=True)
+    assert dec["frames"] == 6
