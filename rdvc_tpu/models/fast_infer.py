@@ -149,6 +149,15 @@ def _tile4(b: np.ndarray) -> np.ndarray:
     return np.tile(np.asarray(b), 4)
 
 
+def _quantize_w(w: np.ndarray):
+    """Symmetric per-output-channel int8 weight quantization:
+    (kh, kw, ci, co) -> ((kh, kw, ci, co) int8, (co,) f32 scale)."""
+    s = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+    s = np.maximum(s, 1e-12)
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(s, jnp.float32)
+
+
 # ----------------------------------------------------------------------
 # Traced conv helpers
 # ----------------------------------------------------------------------
@@ -156,17 +165,37 @@ def _tile4(b: np.ndarray) -> np.ndarray:
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+def _kernel_of(w):
+    """Kernel array of a conv weight leaf: plain array, or the int8 half
+    of a (q_int8, scale) pair (RDVC_INT8_INFER)."""
+    return w[0] if isinstance(w, tuple) else w
+
+
 def _s2d_pad(w) -> Tuple[int, int]:
     """Static padding for an s2d-space kernel: every rearranged kernel here
     is either 3-tap (window dm in [-1,1] -> pad (1,1)) or 2-tap (window
     dm in [-1,0] -> pad (1,0)). Kernel shape is static under jit; the pad
     tuples must NOT live in the param pytree (they would trace as leaves)."""
-    return (1, 1) if w.shape[0] == 3 else (1, 0)
+    return (1, 1) if _kernel_of(w).shape[0] == 3 else (1, 0)
 
 
 def _conv(x, w, pad, stride: int = 1):
+    if isinstance(w, tuple):
+        # int8 path (RDVC_INT8_INFER): symmetric per-tensor dynamic
+        # activation scale, per-output-channel weight scale; the MXU runs
+        # int8 x int8 -> int32 at twice the bf16 rate on v5e.
+        q, s_w = w
+        s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-12
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, q, (stride, stride), (tuple(pad), tuple(pad)),
+            dimension_numbers=_DN, preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * (s_x * s_w)
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), (tuple(pad), tuple(pad)),
+        x.astype(w.dtype), w, (stride, stride), (tuple(pad), tuple(pad)),
         dimension_numbers=_DN,
     )
 
@@ -174,7 +203,7 @@ def _conv(x, w, pad, stride: int = 1):
 def _conv_transpose(x, w, b):
     """Mirror of flax ConvTranspose(k3,s2,'SAME',use_bias) via lax."""
     y = jax.lax.conv_transpose(
-        x, w, (2, 2), "SAME", dimension_numbers=_DN
+        x.astype(w.dtype), w, (2, 2), "SAME", dimension_numbers=_DN
     )
     return y + b
 
@@ -197,7 +226,7 @@ def _res_blocks(p: dict):
     return out
 
 
-def _prep_analysis(p: dict, dtype) -> dict:
+def _prep_analysis(p: dict, dtype, int8: bool = False) -> dict:
     """AnalysisTransform params -> fast tree. Stem (k5 s1) + first
     downsample (k3 s2) run in s2d space; the rest is already lane-friendly."""
     n_cna = len([k for k in p if re.fullmatch(r"ConvNormAct_\d+", k)])
@@ -206,31 +235,33 @@ def _prep_analysis(p: dict, dtype) -> dict:
     sw, _ = conv_s1_weights_to_s2d(stem_w)
     dw, _ = conv_s2_weights_to_s2d(down_w)
     cast = lambda a: jnp.asarray(a, dtype)
+    wcast = _quantize_w if int8 else cast
     return {
         "s2d": {
-            "stem_w": cast(sw), "stem_b": cast(_tile4(stem_b)),
-            "down_w": cast(dw), "down_b": cast(down_b),
+            "stem_w": wcast(sw), "stem_b": cast(_tile4(stem_b)),
+            "down_w": wcast(dw), "down_b": cast(down_b),
         },
         "plain": {
-            "stem_w": cast(stem_w), "stem_b": cast(stem_b),
-            "down_w": cast(down_w), "down_b": cast(down_b),
+            "stem_w": wcast(stem_w), "stem_b": cast(stem_b),
+            "down_w": wcast(down_w), "down_b": cast(down_b),
         },
         "downs": [
-            tuple(map(cast, _cna(p[f"ConvNormAct_{i}"])))
-            for i in range(2, n_cna)
+            (wcast(w), cast(b))
+            for w, b in (_cna(p[f"ConvNormAct_{i}"]) for i in range(2, n_cna))
         ],
         "res": [
-            (cast(w1), cast(b1), cast(w2), cast(b2))
+            (wcast(w1), cast(b1), wcast(w2), cast(b2))
             for (w1, b1), (w2, b2) in _res_blocks(p)
         ],
-        "out": tuple(map(cast, _cna(p["Conv_0"]))),
+        "out": (lambda w, b: (wcast(w), cast(b)))(*_cna(p["Conv_0"])),
     }
 
 
-def _prep_synthesis(p: dict, dtype) -> dict:
+def _prep_synthesis(p: dict, dtype, int8: bool = False) -> dict:
     """SynthesisTransform params -> fast tree. The LAST ConvTranspose and
     the k5 output conv run in s2d space (sub-pixel tail); trunk ConvTranspose
-    layers keep the native lowering (measured 42% MFU — already good)."""
+    layers keep the native lowering (measured 42% MFU — already good, and
+    exempt from int8: lax.conv_transpose has no int8 accumulation path)."""
     n_up = len([k for k in p if re.fullmatch(r"ConvTransposeNormAct_\d+", k)])
     ups = [_cna_t(p[f"ConvTransposeNormAct_{i}"]) for i in range(n_up)]
     last_w, last_b = ups[-1]
@@ -238,16 +269,17 @@ def _prep_synthesis(p: dict, dtype) -> dict:
     out_w, out_b = _cna(p["Conv_0"])
     ow, _ = conv_s1_weights_to_s2d(out_w)
     cast = lambda a: jnp.asarray(a, dtype)
+    wcast = _quantize_w if int8 else cast
     return {
-        "head": tuple(map(cast, _cna(p["ConvNormAct_0"]))),
+        "head": (lambda w, b: (wcast(w), cast(b)))(*_cna(p["ConvNormAct_0"])),
         "res": [
-            (cast(w1), cast(b1), cast(w2), cast(b2))
+            (wcast(w1), cast(b1), wcast(w2), cast(b2))
             for (w1, b1), (w2, b2) in _res_blocks(p)
         ],
         "ups": [tuple(map(cast, u)) for u in ups[:-1]],
         "tail": {
-            "up_w": cast(uw), "up_b": cast(_tile4(last_b)),
-            "out_w": cast(ow), "out_b": cast(_tile4(out_b)),
+            "up_w": wcast(uw), "up_b": cast(_tile4(last_b)),
+            "out_w": wcast(ow), "out_b": cast(_tile4(out_b)),
         },
     }
 
@@ -257,7 +289,7 @@ def _cna_t(p: dict) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(c["kernel"], np.float64), np.asarray(c["bias"], np.float64)
 
 
-def _prep_mcn(p: dict, dtype) -> dict:
+def _prep_mcn(p: dict, dtype, int8: bool = False) -> dict:
     """MCN params -> fast tree: the ENTIRE network runs in s2d space (all
     of it is full-resolution at <=32 channels)."""
     stem_w, stem_b = _cna(p["ConvNormAct_0"])
@@ -265,37 +297,49 @@ def _prep_mcn(p: dict, dtype) -> dict:
     sw, _ = conv_s1_weights_to_s2d(stem_w)
     ow, _ = conv_s1_weights_to_s2d(out_w)
     cast = lambda a: jnp.asarray(a, dtype)
+    wcast = _quantize_w if int8 else cast
     return {
         "s2d": {
-            "stem_w": cast(sw), "stem_b": cast(_tile4(stem_b)),
+            "stem_w": wcast(sw), "stem_b": cast(_tile4(stem_b)),
             "res": [
                 (
-                    cast(conv_s1_weights_to_s2d(w1)[0]), cast(_tile4(b1)),
-                    cast(conv_s1_weights_to_s2d(w2)[0]), cast(_tile4(b2)),
+                    wcast(conv_s1_weights_to_s2d(w1)[0]), cast(_tile4(b1)),
+                    wcast(conv_s1_weights_to_s2d(w2)[0]), cast(_tile4(b2)),
                 )
                 for (w1, b1), (w2, b2) in _res_blocks(p)
             ],
-            "out_w": cast(ow), "out_b": cast(_tile4(out_b)),
+            "out_w": wcast(ow), "out_b": cast(_tile4(out_b)),
         },
         "plain": {
-            "stem_w": cast(stem_w), "stem_b": cast(stem_b),
+            "stem_w": wcast(stem_w), "stem_b": cast(stem_b),
             "res": [
-                (cast(w1), cast(b1), cast(w2), cast(b2))
+                (wcast(w1), cast(b1), wcast(w2), cast(b2))
                 for (w1, b1), (w2, b2) in _res_blocks(p)
             ],
-            "out_w": cast(out_w), "out_b": cast(out_b),
+            "out_w": wcast(out_w), "out_b": cast(out_b),
         },
     }
 
 
-def build_fast_params(params: dict, dtype=jnp.bfloat16) -> dict:
-    """BN-folded (norm='none') VideoCodec params -> fast inference tree."""
+def build_fast_params(
+    params: dict, dtype=jnp.bfloat16, int8: Optional[bool] = None
+) -> dict:
+    """BN-folded (norm='none') VideoCodec params -> fast inference tree.
+
+    int8 (or RDVC_INT8_INFER=1, default off): regular convs quantize to
+    symmetric per-output-channel int8 weights with dynamic per-tensor
+    activation scales — int8 x int8 -> int32 runs the MXU at twice the
+    bf16 rate on v5e. ConvTranspose trunks stay bf16."""
+    if int8 is None:
+        import os
+
+        int8 = os.environ.get("RDVC_INT8_INFER", "0") == "1"
     return {
-        "motion_encoder": _prep_analysis(params["motion_encoder"], dtype),
-        "residual_encoder": _prep_analysis(params["residual_encoder"], dtype),
-        "motion_decoder": _prep_synthesis(params["motion_decoder"], dtype),
-        "residual_decoder": _prep_synthesis(params["residual_decoder"], dtype),
-        "mcn": _prep_mcn(params["motion_compensation_net"], dtype),
+        "motion_encoder": _prep_analysis(params["motion_encoder"], dtype, int8),
+        "residual_encoder": _prep_analysis(params["residual_encoder"], dtype, int8),
+        "motion_decoder": _prep_synthesis(params["motion_decoder"], dtype, int8),
+        "residual_decoder": _prep_synthesis(params["residual_decoder"], dtype, int8),
+        "mcn": _prep_mcn(params["motion_compensation_net"], dtype, int8),
     }
 
 
@@ -314,7 +358,7 @@ def analysis_apply(fp: dict, x: jax.Array, act, dtype) -> jax.Array:
         z = act(_conv(z, s["down_w"], _s2d_pad(s["down_w"])) + s["down_b"])
     else:
         p = fp["plain"]
-        k = p["stem_w"].shape[0] // 2
+        k = _kernel_of(p["stem_w"]).shape[0] // 2
         z = act(_conv(x, p["stem_w"], (k, k)) + p["stem_b"])
         z = act(_conv(z, p["down_w"], (1, 1), stride=2) + p["down_b"])
     for w, b in fp["downs"]:
