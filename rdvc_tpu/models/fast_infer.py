@@ -257,11 +257,19 @@ def _prep_analysis(p: dict, dtype, int8: bool = False) -> dict:
     }
 
 
-def _prep_synthesis(p: dict, dtype, int8: bool = False) -> dict:
+def _prep_synthesis(
+    p: dict, dtype, int8: bool = False, int8_tail: bool = True
+) -> dict:
     """SynthesisTransform params -> fast tree. The LAST ConvTranspose and
     the k5 output conv run in s2d space (sub-pixel tail); trunk ConvTranspose
     layers keep the native lowering (measured 42% MFU — already good, and
-    exempt from int8: lax.conv_transpose has no int8 accumulation path)."""
+    exempt from int8: lax.conv_transpose has no int8 accumulation path).
+
+    int8_tail=False keeps the pixel-emitting tail in bf16: the residual
+    decoder's output adds LINEARLY into the reconstruction, so tail
+    quantization noise lands directly on pixels (measured: int8 residual
+    tail caps trained-checkpoint agreement at ~25 dB; bf16 tail restores
+    ~43 dB)."""
     n_up = len([k for k in p if re.fullmatch(r"ConvTransposeNormAct_\d+", k)])
     ups = [_cna_t(p[f"ConvTransposeNormAct_{i}"]) for i in range(n_up)]
     last_w, last_b = ups[-1]
@@ -278,8 +286,10 @@ def _prep_synthesis(p: dict, dtype, int8: bool = False) -> dict:
         ],
         "ups": [tuple(map(cast, u)) for u in ups[:-1]],
         "tail": {
-            "up_w": wcast(uw), "up_b": cast(_tile4(last_b)),
-            "out_w": wcast(ow), "out_b": cast(_tile4(out_b)),
+            "up_w": (wcast if int8_tail else cast)(uw),
+            "up_b": cast(_tile4(last_b)),
+            "out_w": (wcast if int8_tail else cast)(ow),
+            "out_b": cast(_tile4(out_b)),
         },
     }
 
@@ -338,7 +348,11 @@ def build_fast_params(
         "motion_encoder": _prep_analysis(params["motion_encoder"], dtype, int8),
         "residual_encoder": _prep_analysis(params["residual_encoder"], dtype, int8),
         "motion_decoder": _prep_synthesis(params["motion_decoder"], dtype, int8),
-        "residual_decoder": _prep_synthesis(params["residual_decoder"], dtype, int8),
+        # The residual tail emits pixels; its quantization noise is additive
+        # in the output, so it stays bf16 (see _prep_synthesis docstring).
+        "residual_decoder": _prep_synthesis(
+            params["residual_decoder"], dtype, int8, int8_tail=False
+        ),
         "mcn": _prep_mcn(params["motion_compensation_net"], dtype, int8),
     }
 
