@@ -819,6 +819,29 @@ class CodecRuntime:
         mdec, rdec = self._device_decoders
         m_grid, m_ns, m_L = mdec.prepare_grids(list(m_payloads))
         r_grid, r_ns, r_L = rdec.prepare_grids(list(r_payloads))
+        # The word-grid row count is content-dependent (bucketed by max
+        # payload size), but it is a traced-arg SHAPE of the fused scan —
+        # every new bucket would recompile the whole T-step reconstruction
+        # (~40 s at 1080p). Pad to a per-(S, L) high-water mark so the
+        # compiled shape only grows (at most a couple of recompiles per
+        # run, none once the warmup has seen the biggest chunk).
+        if not hasattr(self, "_grid_hwm"):
+            self._grid_hwm = {}
+
+        def hwm_pad(grid, L):
+            key = (grid.shape[2], L)
+            rows = max(self._grid_hwm.get(key, 0), grid.shape[1])
+            self._grid_hwm[key] = rows
+            if rows > grid.shape[1]:
+                pad = np.zeros(
+                    (grid.shape[0], rows - grid.shape[1], grid.shape[2]),
+                    grid.dtype,
+                )
+                grid = np.concatenate([grid, pad], axis=1)
+            return grid
+
+        m_grid = hwm_pad(m_grid, m_L)
+        r_grid = hwm_pad(r_grid, r_L)
         m_rows, m_offs, m_K = mdec._ca_rows(m_grid.shape[2])
         r_rows, r_offs, r_K = rdec._ca_rows(r_grid.shape[2])
         m_stat = (m_K, m_L, m_ns // mdec._C, int(m_shape[0]), int(m_shape[1]))
@@ -905,6 +928,12 @@ class CodecRuntime:
                 self.variables = jax.device_put(
                     self.variables, jax.devices()[0]
                 )
+                if hasattr(self, "_raft_variables"):
+                    # Leaving these on the released mesh would make the
+                    # next fused encode mix devices and fail per-frame.
+                    self._raft_variables = jax.device_put(
+                        self._raft_variables, jax.devices()[0]
+                    )
             self._gop_mesh = None
             self._gop_sharding = None
             return
@@ -1053,11 +1082,10 @@ class CodecRuntime:
             "batch_stats": self.variables["batch_stats"],
         }
         if "fast" in self.variables:
-            # Rebuild (cheap): calibration only touches the EB subtrees,
-            # but the fast tree must stay attached to the jit arg.
-            from rdvc_tpu.models.fast_infer import build_fast_params
-
-            new_vars["fast"] = build_fast_params(params)
+            # Calibration only touches the EB subtrees, which the fast
+            # tree never reads — carry it over instead of re-running the
+            # host-side weight rearrangement + re-upload.
+            new_vars["fast"] = self.variables["fast"]
         self.variables = new_vars
         params_np = jax.tree_util.tree_map(np.asarray, params)
         self.motion_tables = build_cdf_tables(
@@ -1066,10 +1094,20 @@ class CodecRuntime:
         self.residual_tables = build_cdf_tables(
             params_np["residual_entropy_bottleneck"]
         )
-        # Drop jitted closures that baked in the old tables.
+        # Drop every jitted closure that baked in the old tables at trace
+        # time — the quantization medians ride _encode_body /
+        # _decode_step_body as CONSTANTS (jnp.asarray of self.*_tables),
+        # so any cached trace would silently quantize against stale
+        # medians while the rebuilt CDF tables add the new ones back.
         for attr in (
+            "_encode_pframe_fn",
             "_fused_encode_fn",
+            "_fused_encode_chain_fn",
+            "_fused_encode_chain_i420_fn",
+            "_fused_encode_chain_coded_fn",
             "_fused_decode_fn",
+            "_scan_decode_fn",
+            "_scan_decode_coded_fn",
             "_pack_meta",
             "_pack_fn",
             "_device_encoders",

@@ -147,10 +147,12 @@ def encode_video(
 
         from rdvc_tpu.parallel.mesh import make_data_mesh
 
-        n = min(enc_devices, len(jax.devices()))
+        # Pick the largest mesh that DIVIDES the GOP-capped batch: rounding
+        # the batch up instead would reintroduce padding rows on every
+        # flush (the interval-5 + batch-8 pathology documented above).
+        cap = min(enc_devices, len(jax.devices()), batch_size)
+        n = next(d for d in range(cap, 0, -1) if batch_size % d == 0)
         if n > 1:
-            if batch_size % n:
-                batch_size = ((batch_size + n - 1) // n) * n
             runtime.set_gop_mesh(make_data_mesh(n, axis_name="gop"))
             encode_mesh = True
 
