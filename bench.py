@@ -90,6 +90,7 @@ def main():
         # latents are maximally surprising to the coder (~26 bpp) and the
         # bitstream stages measure a pathological workload instead of the
         # ~1 bpp regime the reference's speed numbers were taken in.
+        from rdvc_tpu.eval.calibration import calibrate_on_clip
         from rdvc_tpu.models.raft import RaftRunner
 
         runner = RaftRunner(
@@ -97,28 +98,8 @@ def main():
             checkpoint_path=config.raft_checkpoint_path,
         )
         runtime.attach_raft(runner.model, runner.variables)
-        frames_cal = synth_frames(3, h, w, seed=7)
-        m_lat, r_lat = runtime._fused_encode_fn(
-            runtime.variables, runner.variables,
-            np.stack([frames_cal[0], frames_cal[1]]),
-            np.stack([frames_cal[1], frames_cal[2]]),
-            (config.raft_resize_height, config.raft_resize_width),
-            (1080, 1920), (1080, 1920),
-        )
-        # _fused_encode_fn returns int16 symbols (latent - median, rounded);
-        # add the CURRENT medians back so the density is fit on the true
-        # latent distribution. (Fitting on raw symbols silently shifts the
-        # model by the old medians — catastrophic when a trained checkpoint
-        # has non-zero quantiles: every symbol escapes to bypass coding.)
-        m_med = runtime.motion_tables.medians[None, None, None, :]
-        r_med = runtime.residual_tables.medians[None, None, None, :]
-        runtime.calibrate_entropy_models(
-            {
-                "motion": np.asarray(m_lat, np.float32)[:, ::4, ::4]
-                + m_med,
-                "residual": np.asarray(r_lat, np.float32)[:, ::4, ::4]
-                + r_med,
-            }
+        calibrate_on_clip(
+            runtime, runner.variables, synth_frames(3, h, w, seed=7), config
         )
 
         # Warmup: compile all shapes the timed run will use. Must span a
