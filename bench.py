@@ -44,6 +44,10 @@ def main():
 
     np.asarray(jax.device_put(np.zeros(8, np.uint8)))
 
+    from rdvc_tpu.utils.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from rdvc_tpu.config import CodecConfig
     from rdvc_tpu.io.yuv import write_yuv420p_frames
     from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
