@@ -104,6 +104,40 @@ def test_decode_deterministic(tmp_path, runtime):
 
 
 @pytest.mark.slow
+def test_decode_tolerates_payload_corruption(tmp_path, runtime):
+    """Bit flips inside a P-frame entropy payload must not crash the
+    decoder: the rANS decode is table-driven (any word sequence decodes to
+    SOME symbol sequence), so corruption degrades to garbage pixels for
+    the affected GOP while the stream structure and every frame survive.
+    (Resilience beyond the reference, which only tolerates truncation —
+    codec_processing.py:1960-1965.)"""
+    import re
+    import struct
+
+    in_path, _ = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    encode_video(config, runtime=runtime)
+    data = bytearray(open(config.output_rdvc_file, "rb").read())
+    starts = [m.start() for m in re.finditer(b"RDVCFRME", bytes(data))]
+    # Frame 1 is the first P-frame (interval 4). Header: marker(8) +
+    # idx(4) + type(1) + payload_len(8); payload: mH(4) mW(4) m_len(4)
+    # then the motion bitstream.
+    base = starts[1] + 8 + 4
+    assert data[base : base + 1] == b"P"
+    payload = base + 1 + 8
+    (m_len,) = struct.unpack(">I", data[payload + 8 : payload + 12])
+    assert m_len >= 12, "motion payload too small to corrupt safely"
+    for i in range(8):
+        data[payload + 12 + 4 + i] ^= 0xFF
+    bad = tmp_path / "corrupt.rdvc"
+    bad.write_bytes(bytes(data))
+    config.input_rdvc_file = str(bad)
+    dec = decode_video(config, runtime=runtime, collect_frames=True)
+    assert dec["frames"] == 6
+    assert all(f.shape == (64, 96, 3) for f in dec["decoded_frames"])
+
+
+@pytest.mark.slow
 def test_latents_bitexact_through_rans(tmp_path, runtime):
     """The decoder's dequantized latents must exactly equal what the encoder
     would get by quantizing its own latents (bitstream transparency)."""
