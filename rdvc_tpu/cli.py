@@ -20,7 +20,11 @@ from rdvc_tpu.config import CodecConfig
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="rdvc_tpu video codec")
-    p.add_argument("--mode", choices=["encode", "decode"], required=True)
+    p.add_argument(
+        "--mode", choices=["encode", "decode", "info"], required=True,
+        help="encode/decode run the codec; info inspects a .rdvc "
+             "container (metadata + per-frame payload stats, no device)",
+    )
     p.add_argument("--gpu", type=int, default=None,
                    help="device id; -1 forces CPU (reference parity flag)")
     p.add_argument("--raft_backend", type=str, default=None,
@@ -79,9 +83,56 @@ def config_from_args(args) -> CodecConfig:
     return config
 
 
+def container_info(path: str) -> dict:
+    """Inspect a .rdvc container: metadata + per-frame payload statistics.
+    Pure host-side parse (no jax, no model) — cheap enough for scripting.
+    The reference has no equivalent; its metadata is only visible by
+    running a full decode (codec_processing.py:1696-1711)."""
+    from rdvc_tpu.container.rdvc_format import RdvcReader
+
+    stats = {
+        "I": {"count": 0, "payload_bytes": 0},
+        "P": {"count": 0, "payload_bytes": 0},
+    }
+    frames = []
+    with RdvcReader(path) as reader:
+        meta = reader.metadata
+        for rec in reader.frames():
+            s = stats[rec.frame_type]
+            s["count"] += 1
+            s["payload_bytes"] += len(rec.payload)
+            frames.append((rec.index, rec.frame_type, len(rec.payload)))
+    total_payload = sum(s["payload_bytes"] for s in stats.values())
+    n = len(frames)
+    info = {
+        "metadata": meta,
+        "frames": n,
+        "frame_stats": stats,
+        "total_payload_bytes": total_payload,
+        "file_bytes": __import__("os").path.getsize(path),
+    }
+    w, h = (meta.get("original_dimensions_wh") or (0, 0))[:2]
+    if w and h and n:
+        info["bpp"] = round(info["file_bytes"] * 8 / (n * w * h), 4)
+    if n:
+        info["mean_payload_bytes"] = {
+            t: round(s["payload_bytes"] / s["count"], 1)
+            for t, s in stats.items()
+            if s["count"]
+        }
+    return info
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+    if args.mode == "info":
+        if not args.input:
+            print("--mode info requires --input <file.rdvc>", file=sys.stderr)
+            return 2
+        info = container_info(args.input)
+        print(json.dumps(info, indent=None if args.json else 2, default=str))
+        return 0
     config = config_from_args(args)
     # Device selection (reference --gpu semantics,
     # codec_processing.py:1189-1204): config.gpu None => CPU.

@@ -193,6 +193,17 @@ def test_cli_encode_decode(tmp_path, runtime, monkeypatch):
     )
     assert rc == 0
 
+    # --mode info: host-only container inspection, no device/model.
+    info = cli.container_info(rdvc)
+    assert info["frames"] == 6
+    assert info["frame_stats"]["I"]["count"] == 2
+    assert info["frame_stats"]["P"]["count"] == 4
+    assert info["metadata"]["iframe_interval"] == 4
+    assert info["bpp"] > 0
+    rc = cli.main(["--mode", "info", "--input", rdvc, "--json"])
+    assert rc == 0
+    assert cli.main(["--mode", "info"]) == 2  # missing --input
+
 
 @pytest.mark.slow
 def test_encode_decode_fused_raft(tmp_path, runtime):
