@@ -103,3 +103,60 @@ def run_uvg_benchmark(
         "decode_fps": n / t_dec,
         "compression_ratio_rdvc_over_yuv": file_bytes / (n * width * height * 1.5),
     }
+
+
+def main(argv=None) -> int:
+    """Standalone UVG runner for real .yuv content (reference
+    test_uvg.py semantics; jockey.txt's 600-frame variant via --frames).
+
+    python -m rdvc_tpu.eval.uvg --input Beauty_1920x1080_..._.yuv \
+        --width 1920 --height 1080 --frames 50 --comp_height 1080 \
+        --checkpoint checkpoints/demo_synthetic.ckpt [--raft auto]
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="UVG-style codec benchmark")
+    p.add_argument("--input", required=True, help=".yuv (yuv420p) path")
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--frames", type=int, default=50)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--comp_height", type=int, default=None,
+                   help="flow+residual compression height (RD axis)")
+    p.add_argument("--iframe_interval", type=int, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--raft", type=str, default=None,
+                   choices=["auto", "raft", "jax", "farneback", "zero"])
+    p.add_argument("--out", type=str, default=None, help="write JSON here")
+    args = p.parse_args(argv)
+
+    config = CodecConfig()
+    if args.comp_height is not None:
+        config.flow_compress_height = args.comp_height
+        config.residual_compress_height = args.comp_height
+    if args.iframe_interval is not None:
+        config.iframe_interval = args.iframe_interval
+    if args.checkpoint:
+        config.codec_checkpoint_path = args.checkpoint
+    if args.raft:
+        config.raft_backend = args.raft
+    result = run_uvg_benchmark(
+        args.input, args.width, args.height,
+        num_frames=args.frames, fps=args.fps, config=config,
+    )
+    doc = json.dumps(
+        {k: v for k, v in result.items() if k != "psnr_per_frame"}, indent=2
+    )
+    print(doc)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    logging.basicConfig(level=logging.INFO)
+    sys.exit(main())
