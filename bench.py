@@ -8,7 +8,9 @@ Baseline (BASELINE.md): reference encodes at 1.10 s/frame and decodes at
 encode+decode per frame. vs_baseline is ours / 0.397.
 
 Method: synthetic 1080p video, real model compute (JAX RAFT at 368x640 with
-12 iterations + full codec transforms at 1080p + host rANS + container IO),
+config.raft_iters GRU iterations — default 4, measured RD-neutral vs the
+reference-parity 12 in benchmarks/raft_iters_study.json — + full codec
+transforms at 1080p + host rANS + container IO),
 iframe_interval 32 (the jockey.txt long-run setting). Warmup pass first so
 steady-state throughput is measured, not XLA compile.
 """

@@ -72,7 +72,12 @@ class CodecConfig:
     raft_checkpoint_path: Optional[str] = None
     raft_resize_height: int = 368
     raft_resize_width: int = 640
-    raft_iters: int = 12
+    # GRU refinement iterations. The reference runs torchvision's default 12
+    # (codec_processing.py:1436-1444); set 12 for exact parity. Default 4:
+    # measured RD-neutral on the eval content (benchmarks/
+    # raft_iters_study.json — EPE flat from 2 iters, bpp/PSNR within 0.1%
+    # of 12 at 4) while dropping ~2/3 of the encoder's GRU device time.
+    raft_iters: int = 4
     raft_dropout: float = 0.0
     raft_mixed_precision: bool = True  # bf16 on TPU
 

@@ -60,7 +60,10 @@ runtime = CodecRuntime(
     model_cfg=CodecConfig().model_config(),
     checkpoint_path=ckpt if os.path.exists(ckpt) else None,
 )
-runner = RaftRunner(iters=12, checkpoint_path="checkpoints/demo_raft.ckpt")
+RAFT_ITERS = CodecConfig().raft_iters
+runner = RaftRunner(
+    iters=RAFT_ITERS, checkpoint_path="checkpoints/demo_raft.ckpt"
+)
 runtime.attach_raft(runner.model, runner.variables)
 
 frames = coherent_clip(B + 1, H, W, seed=0)
@@ -117,9 +120,29 @@ def piece_raft(rv, a, b):
 flow_small = piece_raft(runner.variables, p_small, c_small)
 t = time_device(lambda: piece_raft(runner.variables, p_small, c_small), ITERS)
 c = compiled_cost(piece_raft, runner.variables, p_small, c_small)
-log("enc_raft_368x640_12it", {"ms_per_frame": t / B * 1e3,
-                              "flops_per_frame": c["flops"] / B,
-                              "mfu": mfu(c["flops"], t)})
+log(f"enc_raft_368x640_{RAFT_ITERS}it", {"ms_per_frame": t / B * 1e3,
+                                         "flops_per_frame": c["flops"] / B,
+                                         "mfu": mfu(c["flops"], t)})
+
+# Reference-parity iteration count for the A/B record (raft_iters_study.json
+# holds the RD/EPE evidence that the default is quality-neutral).
+if RAFT_ITERS != 12:
+    runner12 = RaftRunner(
+        iters=12, checkpoint_path="checkpoints/demo_raft.ckpt"
+    )
+
+    @jax.jit
+    def piece_raft12(rv, a, b):
+        return runner12.model.apply(rv, a, b, train=False)
+
+    piece_raft12(runner12.variables, p_small, c_small)
+    t = time_device(
+        lambda: piece_raft12(runner12.variables, p_small, c_small), ITERS
+    )
+    c = compiled_cost(piece_raft12, runner12.variables, p_small, c_small)
+    log("enc_raft_368x640_12it", {"ms_per_frame": t / B * 1e3,
+                                  "flops_per_frame": c["flops"] / B,
+                                  "mfu": mfu(c["flops"], t)})
 
 flow_orig = resize_flow(flow_small, (H, W))
 
