@@ -44,7 +44,26 @@ def main():
     # (60-300 s, once per process) before anything is timed.
     import jax
 
-    np.asarray(jax.device_put(np.zeros(8, np.uint8)))
+    try:
+        np.asarray(jax.device_put(np.zeros(8, np.uint8)))
+    except RuntimeError as e:
+        if "UNAVAILABLE" in str(e) or "initialize backend" in str(e):
+            # TPU relay down (outage since 2026-08-17 ~23:00): emit one
+            # honest machine-readable line instead of a traceback. The
+            # last good measurement is banked in
+            # benchmarks/bench_r03_degraded_relay.json + PERF_r03.md.
+            print(json.dumps({
+                "metric": "uvg1080p_encode_decode_fps_per_chip",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": "TPU backend unavailable (axon relay outage); "
+                         "see PERF_r03.md + benchmarks/"
+                         "bench_r03_degraded_relay.json for the last "
+                         "real-chip measurement",
+            }))
+            return 0
+        raise
 
     from rdvc_tpu.utils.runtime import enable_persistent_cache
 
