@@ -192,6 +192,14 @@ def main():
             "encode_fps": round(n_frames / (t1 - t0), 4),
             "decode_fps": round(n_frames / (t2 - t1), 4),
             "frames": n_frames,
+            # Inference-graph configuration (self-describing A/B artifacts)
+            "graph": {
+                "fold_bn": os.environ.get("RDVC_FOLD_BN", "1") != "0",
+                "fast_infer": os.environ.get("RDVC_FAST_INFER", "1") != "0",
+                "int8": os.environ.get("RDVC_INT8_INFER", "0") == "1",
+                "conv_impl": os.environ.get("RDVC_CONV_IMPL", "xla"),
+                "raft_iters": config.raft_iters,
+            },
             "bpp": round(
                 enc["file_bytes"] * 8 / (n_frames * h * w), 4
             ),

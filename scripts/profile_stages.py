@@ -8,6 +8,7 @@ Usage:  python scripts/profile_stages.py [out.json]
 Env:    PROF_B (encode batch, default 8), PROF_ITERS (default 3)
 """
 
+import functools
 import json
 import os
 import sys
@@ -43,16 +44,26 @@ from rdvc_tpu.utils.profiling import (
 
 B = int(os.environ.get("PROF_B", "8"))
 ITERS = int(os.environ.get("PROF_ITERS", "3"))
-H, W = 1080, 1920
-RAFT_HW = (368, 640)
-COMP_HW = (1080, 1920)
+# PROF_H/PROF_W: CPU smoke at tiny shapes (default = the real 1080p target)
+H = int(os.environ.get("PROF_H", "1080"))
+W = int(os.environ.get("PROF_W", "1920"))
+RAFT_HW = (368, 640) if H >= 368 else (max(32, H // 2), max(64, W // 2))
+COMP_HW = (H, W)
 
 report = {"B": B, "iters": ITERS, "device": str(jax.devices()[0])}
+
+OUT_PATH = (
+    sys.argv[1] if len(sys.argv) > 1 else "benchmarks/profile_stages.json"
+)
+os.makedirs(os.path.dirname(OUT_PATH) or ".", exist_ok=True)
 
 
 def log(k, v):
     report[k] = v
     print(f"{k}: {json.dumps(v)}", flush=True)
+    # Incremental dump: partial results survive a suite-level timeout.
+    with open(OUT_PATH, "w") as f:
+        json.dump(report, f, indent=2)
 
 
 ckpt = "checkpoints/demo_synthetic.ckpt"
@@ -144,6 +155,86 @@ if RAFT_ITERS != 12:
                                   "flops_per_frame": c["flops"] / B,
                                   "mfu": mfu(c["flops"], t)})
 
+# ---------------- RAFT sub-stage attribution ----------------
+# Where do the RAFT milliseconds go: encoders vs corr volume vs per-
+# iteration lookup+update vs upsample. Guides kernel work (e.g. whether
+# the fused Pallas corr kernel or a fused GRU would pay).
+try:
+    rm = runner.model
+    rv = runner.variables
+
+    @jax.jit
+    def raft_encoders(v, a, b):
+        x1 = a.astype(jnp.float32) * 2.0 - 1.0
+        x2 = b.astype(jnp.float32) * 2.0 - 1.0
+
+        def run(m, x1, x2):
+            return (
+                m.fnet(x1, train=False),
+                m.fnet(x2, train=False),
+                m.cnet(x1, train=False),
+            )
+
+        return rm.apply(v, x1, x2, method=run)
+
+    f1, f2, cf = raft_encoders(rv, p_small, c_small)
+    t = time_device(lambda: raft_encoders(rv, p_small, c_small), ITERS)
+    log("raft_encoders", {"ms_per_frame": t / B * 1e3})
+
+    from rdvc_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+
+    @functools.partial(jax.jit, static_argnames=("use_pallas",))
+    def raft_pyramid(f1, f2, use_pallas=False):
+        return build_corr_pyramid(f1, f2, 4, use_pallas=use_pallas)
+
+    pyr = raft_pyramid(f1, f2)
+    t = time_device(lambda: raft_pyramid(f1, f2), ITERS)
+    log("raft_corr_pyramid", {"ms_per_frame": t / B * 1e3})
+    try:
+        raft_pyramid(f1, f2, use_pallas=True)
+        t = time_device(
+            lambda: raft_pyramid(f1, f2, use_pallas=True), ITERS
+        )
+        log("raft_corr_pyramid_pallas", {"ms_per_frame": t / B * 1e3})
+    except Exception as e:
+        log("raft_corr_pyramid_pallas", {"error": repr(e)})
+
+    h8, w8 = p_small.shape[1] // 8, p_small.shape[2] // 8
+    xs = jnp.broadcast_to(
+        jnp.arange(w8, dtype=jnp.float32), (B, h8, w8)
+    )
+    ys = jnp.broadcast_to(
+        jnp.arange(h8, dtype=jnp.float32)[:, None], (B, h8, w8)
+    )
+    coords = jnp.stack([xs, ys], axis=-1)
+
+    @jax.jit
+    def raft_lookup(pyr, coords):
+        return corr_lookup(pyr, coords, 4)
+
+    corr_feat = raft_lookup(pyr, coords)
+    t = time_device(lambda: raft_lookup(pyr, coords), ITERS)
+    log("raft_corr_lookup_1it", {"ms_per_frame": t / B * 1e3})
+
+    hidden = jnp.tanh(cf[..., :128])
+    context = jax.nn.relu(cf[..., 128:])
+    flow0 = jnp.zeros((B, h8, w8, 2), jnp.float32)
+
+    @jax.jit
+    def raft_update(v, hidden, context, corr_feat, flow0):
+        def run(m, *a):
+            return m.update_block(*a)
+
+        return rm.apply(v, hidden, context, corr_feat, flow0, method=run)
+
+    raft_update(rv, hidden, context, corr_feat, flow0)
+    t = time_device(
+        lambda: raft_update(rv, hidden, context, corr_feat, flow0), ITERS
+    )
+    log("raft_update_block_1it", {"ms_per_frame": t / B * 1e3})
+except Exception as e:
+    log("raft_substage_error", repr(e))
+
 flow_orig = resize_flow(flow_small, (H, W))
 
 
@@ -217,7 +308,7 @@ log("host_rans_encode", {"ms_per_frame": t_host * 1e3})
 # ---------------- decode pieces ----------------
 # Scan decode: T steps x G rows, matching bench's GOP-batched shape.
 G = 2
-T = 8
+T = min(8, B)  # scan steps reuse the encoded symbol stack (B rows)
 mT = jnp.asarray(
     np.repeat(np.asarray(m_sym)[:T][:, None], G, 1)
 )  # (T, G, h, w, C)
@@ -303,8 +394,50 @@ log("frame_download", {
     "mb_per_s": down["mb_per_s"],
 })
 
-out_path = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/profile_stages.json"
-os.makedirs(os.path.dirname(out_path), exist_ok=True)
-with open(out_path, "w") as f:
+# ---------------- int8 A/B (RDVC_INT8_INFER) ----------------
+# Same stages with the int8 inference graph (per-out-channel int8
+# weights, dynamic activation scales; residual tail bf16). RD effect
+# measured CPU-side in benchmarks/ab_int8_rd.json; this measures the
+# device-time effect so the flag decision is evidence-based.
+if os.environ.get("PROF_INT8", "1") != "0":
+    try:
+        os.environ["RDVC_INT8_INFER"] = "1"
+        rt8 = CodecRuntime(
+            model_cfg=CodecConfig().model_config(),
+            checkpoint_path=ckpt if os.path.exists(ckpt) else None,
+        )
+        os.environ["RDVC_INT8_INFER"] = "0"
+        rt8.attach_raft(runner.model, runner.variables)
+
+        enc8_args = (
+            rt8.variables, runner.variables, chain_dev,
+            RAFT_HW, COMP_HW, COMP_HW,
+        )
+        fn8 = rt8._fused_encode_chain_i420_fn
+        fn8(*enc8_args)
+        t = time_device(lambda: fn8(*enc8_args), ITERS)
+        log("encode_chain_int8", {"ms_per_frame": t / B * 1e3})
+
+        scan8_args = (
+            rt8.variables, state, state, state, mT, rT,
+            jnp.float32(0.0), jnp.float32(0.0), (H, W), True,
+        )
+        rt8._scan_decode_fn(*scan8_args)
+        t = time_device(lambda: rt8._scan_decode_fn(*scan8_args), ITERS)
+        log("decode_scan_int8", {"ms_per_frame": t / n_f * 1e3})
+
+        rec8_args = (
+            rt8.variables, state,
+            mT[0].astype(jnp.float32) + m_med,
+            rT[0].astype(jnp.float32) + r_med,
+            (H, W),
+        )
+        rt8._reconstruct_fn(*rec8_args)
+        t = time_device(lambda: rt8._reconstruct_fn(*rec8_args), ITERS)
+        log("dec_reconstruct_int8", {"ms_per_frame": t / G * 1e3})
+    except Exception as e:  # never lose the report to the A/B section
+        log("int8_ab_error", repr(e))
+
+with open(OUT_PATH, "w") as f:
     json.dump(report, f, indent=2)
-print("wrote", out_path)
+print("wrote", OUT_PATH)

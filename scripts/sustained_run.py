@@ -150,6 +150,18 @@ with tempfile.TemporaryDirectory() as td:
         },
     })
 
+    # Checkpoint the throughput numbers before the metric pass: a suite
+    # timeout during the (relay-bound) MS-SSIM uploads must not lose the
+    # fps/memory measurements.
+    os.makedirs("benchmarks", exist_ok=True)
+    _partial_name = (
+        "benchmarks/sustained_r03.json"
+        if (H, W, N) == (1080, 1920, 600)
+        else f"benchmarks/sustained_smoke_{N}f_{H}p.json"
+    )
+    with open(_partial_name, "w") as f:
+        json.dump({**report, "partial": "metrics pending"}, f, indent=2)
+
     # PSNR drift per frame (streamed; nothing held in RAM) + decimated
     # MS-SSIM (the jockey.txt JSON reports ms_ssim_avg; every 10th frame
     # bounds the metric pass's upload through the relay).
