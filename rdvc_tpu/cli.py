@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--yuv_fps", type=float, default=None)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--low_motion_replacement_threshold", type=float, default=None)
+    p.add_argument("--hyperprior", action="store_true",
+                   help="mean-scale hyperprior entropy model (must match "
+                        "the checkpoint; decode self-configures from the "
+                        "container metadata)")
+    p.add_argument("--hyper_channels", type=int, default=None)
     p.add_argument("--json", action="store_true", help="print summary as JSON")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the run into this "
@@ -80,6 +85,10 @@ def config_from_args(args) -> CodecConfig:
         config.input_yuv_height = args.yuv_height
     if args.yuv_fps is not None:
         config.input_yuv_fps = args.yuv_fps
+    if getattr(args, "hyperprior", False):
+        config.hyperprior = True
+    if getattr(args, "hyper_channels", None) is not None:
+        config.hyper_channels = args.hyper_channels
     return config
 
 

@@ -33,6 +33,13 @@ class ModelConfig:
     # (codec_processing.py:125-126); GDN is available as an opt-in variant.
     norm: str = "batch"  # "batch" | "gdn" | "none"
     activation: str = "leaky_relu"
+    # Mean-scale hyperprior entropy model (the architecture the reference's
+    # README advertises but its code never instantiates — see
+    # models/hyperprior.py). When True, each AE codes a hyper-latent z
+    # (factorized) whose synthesis predicts per-element Gaussian (mu, sigma)
+    # for the latent coder. Must match the loaded checkpoint.
+    hyperprior: bool = False
+    hyper_channels: int = 128
 
     @property
     def downsample_factor(self) -> int:
@@ -120,6 +127,8 @@ class CodecConfig:
     encoder_downsample_layers: int = 3
     decoder_res_blocks: int = 2
     decoder_upsample_layers: int = 3
+    hyperprior: bool = False
+    hyper_channels: int = 128
 
     def model_config(self) -> ModelConfig:
         return ModelConfig(
@@ -131,6 +140,8 @@ class CodecConfig:
             encoder_downsample_layers=self.encoder_downsample_layers,
             decoder_res_blocks=self.decoder_res_blocks,
             decoder_upsample_layers=self.decoder_upsample_layers,
+            hyperprior=self.hyperprior,
+            hyper_channels=self.hyper_channels,
         )
 
     def update_from_args(self, args) -> None:

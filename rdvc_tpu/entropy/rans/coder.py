@@ -278,9 +278,49 @@ def _channel_indexes(shape_hw: tuple, channels: int) -> np.ndarray:
 
 
 # Payload tags: single-stream host rANS (0x01) vs channel-aligned chunked
-# device rANS16 (0x03, entropy/device_rans.py). Dispatch at decode time.
+# device rANS16 (0x03, entropy/device_rans.py) vs hyperprior composite
+# (0x04: coded hyper-latent z + Gaussian-conditional-coded y). Dispatch at
+# decode time.
 SINGLE_TAG = 0x01
 CA_TAG = 0x03
+HYPER_TAG = 0x04
+
+
+def pack_hyper_payload(
+    z_shape_hw: tuple, z_bytes: bytes, y_bytes: bytes
+) -> bytes:
+    """Hyperprior per-AE payload:
+    [u8 0x04][i32 zH][i32 zW][u32 z_len][z rANS bytes][y rANS bytes].
+
+    Nested inside the standard P-frame payload's per-AE byte slots
+    (container/rdvc_format.py pack_pframe_payload) — the outer container
+    layout is unchanged; only the inner blob grows a hyper-latent section.
+    The y section runs to the end of the blob (its length is the outer
+    u32 minus the header), mirroring the container's length-prefix style
+    (/root/reference/codec_processing.py:1482-1495 big-endian packing).
+    """
+    import struct
+
+    zh, zw = int(z_shape_hw[0]), int(z_shape_hw[1])
+    return (
+        bytes([HYPER_TAG])
+        + struct.pack(">iiI", zh, zw, len(z_bytes))
+        + z_bytes
+        + y_bytes
+    )
+
+
+def unpack_hyper_payload(payload: bytes):
+    """-> ((zH, zW), z_bytes, y_bytes); raises on a non-0x04 tag."""
+    import struct
+
+    if not payload or payload[0] != HYPER_TAG:
+        raise ValueError("not a hyperprior (0x04) payload")
+    zh, zw, z_len = struct.unpack(">iiI", payload[1:13])
+    z_end = 13 + z_len
+    if z_end > len(payload):
+        raise ValueError("truncated hyperprior payload")
+    return (zh, zw), payload[13:z_end], payload[z_end:]
 
 
 def decode_chunked_ca(

@@ -44,9 +44,10 @@ class VideoCodec(nn.Module):
             norm=c.norm,
             act=c.activation,
         )
-        self.motion_entropy_bottleneck = FactorizedEntropyBottleneck(
-            c.motion_latent_channels
-        )
+        if not c.hyperprior:
+            self.motion_entropy_bottleneck = FactorizedEntropyBottleneck(
+                c.motion_latent_channels
+            )
         self.motion_decoder = SynthesisTransform(
             output_channels=2,
             base_channels=c.encoder_base_channels // 2,
@@ -65,9 +66,10 @@ class VideoCodec(nn.Module):
             norm=c.norm,
             act=c.activation,
         )
-        self.residual_entropy_bottleneck = FactorizedEntropyBottleneck(
-            c.residual_latent_channels
-        )
+        if not c.hyperprior:
+            self.residual_entropy_bottleneck = FactorizedEntropyBottleneck(
+                c.residual_latent_channels
+            )
         self.residual_decoder = SynthesisTransform(
             output_channels=3,
             base_channels=c.encoder_base_channels,
@@ -83,6 +85,37 @@ class VideoCodec(nn.Module):
             norm=c.norm,
             act=c.activation,
         )
+        # Mean-scale hyperprior (opt-in; models/hyperprior.py): per-AE
+        # hyper-latent z coded by a factorized bottleneck, whose synthesis
+        # predicts per-element Gaussian (mu, sigma) for the latent coder.
+        if c.hyperprior:
+            from rdvc_tpu.models.hyperprior import (
+                HyperAnalysis,
+                HyperSynthesis,
+            )
+
+            self.motion_hyper_encoder = HyperAnalysis(
+                hyper_channels=c.hyper_channels, act=c.activation
+            )
+            self.motion_hyper_decoder = HyperSynthesis(
+                latent_channels=c.motion_latent_channels,
+                hyper_channels=c.hyper_channels,
+                act=c.activation,
+            )
+            self.motion_hyper_eb = FactorizedEntropyBottleneck(
+                c.hyper_channels
+            )
+            self.residual_hyper_encoder = HyperAnalysis(
+                hyper_channels=c.hyper_channels, act=c.activation
+            )
+            self.residual_hyper_decoder = HyperSynthesis(
+                latent_channels=c.residual_latent_channels,
+                hyper_channels=c.hyper_channels,
+                act=c.activation,
+            )
+            self.residual_hyper_eb = FactorizedEntropyBottleneck(
+                c.hyper_channels
+            )
 
     # ------------------------------------------------------------------
     # Training forward (reference new_train.py:249-296)
@@ -96,10 +129,21 @@ class VideoCodec(nn.Module):
         *,
         train: bool = False,
     ) -> Dict[str, jax.Array]:
+        hyper_rates = {}
         motion_latents = self.motion_encoder(flow_input, train=train)
-        q_motion, motion_lik = self.motion_entropy_bottleneck(
-            motion_latents, train=train
-        )
+        if self.cfg.hyperprior:
+            q_motion, motion_lik, z_rate_m = self._code_hyper(
+                motion_latents,
+                self.motion_hyper_encoder,
+                self.motion_hyper_decoder,
+                self.motion_hyper_eb,
+                train=train,
+            )
+            hyper_rates["rate_motion_hyper"] = z_rate_m
+        else:
+            q_motion, motion_lik = self.motion_entropy_bottleneck(
+                motion_latents, train=train
+            )
         rate_motion = -jnp.log2(motion_lik)
         flow_reconstructed = self.motion_decoder(q_motion, train=train)
 
@@ -117,9 +161,19 @@ class VideoCodec(nn.Module):
             residual_computed = frame2 - predictor
 
         residual_latents = self.residual_encoder(residual_computed, train=train)
-        q_residual, residual_lik = self.residual_entropy_bottleneck(
-            residual_latents, train=train
-        )
+        if self.cfg.hyperprior:
+            q_residual, residual_lik, z_rate_r = self._code_hyper(
+                residual_latents,
+                self.residual_hyper_encoder,
+                self.residual_hyper_decoder,
+                self.residual_hyper_eb,
+                train=train,
+            )
+            hyper_rates["rate_residual_hyper"] = z_rate_r
+        else:
+            q_residual, residual_lik = self.residual_entropy_bottleneck(
+                residual_latents, train=train
+            )
         rate_residual = -jnp.log2(residual_lik)
         residual_reconstructed = self.residual_decoder(q_residual, train=train)
 
@@ -136,9 +190,34 @@ class VideoCodec(nn.Module):
             "residual_latents": residual_latents,
             "frame2_motion_compensated": predictor,
             "frame2_reconstructed_final": recon,
+            **hyper_rates,
         }
 
+    def _code_hyper(self, y, h_a, h_s, eb, *, train: bool):
+        """Mean-scale hyperprior coding of latents y: z = h_a(y) through
+        the factorized bottleneck, (mu, sigma) = h_s(z_hat), y coded
+        against N(mu, sigma). Returns (y_hat, y_likelihoods, z_rate)."""
+        from rdvc_tpu.entropy.gaussian import gaussian_likelihood
+
+        z = h_a(y, train=train)
+        z_hat, z_lik = eb(z, train=train)
+        mu, sigma = h_s(z_hat, (y.shape[1], y.shape[2]), train=train)
+        yf = y.astype(jnp.float32)
+        if train:
+            y_hat = yf + jax.random.uniform(
+                self.make_rng("noise"), yf.shape, jnp.float32, -0.5, 0.5
+            )
+        else:
+            y_hat = jnp.round(yf - mu) + mu
+        y_lik = gaussian_likelihood(y_hat, mu, sigma)
+        return y_hat.astype(y.dtype), y_lik, -jnp.log2(z_lik)
+
     def aux_loss(self) -> jax.Array:
+        if self.cfg.hyperprior:
+            return (
+                self.motion_hyper_eb.aux_loss()
+                + self.residual_hyper_eb.aux_loss()
+            )
         return (
             self.motion_entropy_bottleneck.aux_loss()
             + self.residual_entropy_bottleneck.aux_loss()
@@ -161,6 +240,24 @@ class VideoCodec(nn.Module):
 
     def synthesize_residual(self, q_residual: jax.Array) -> jax.Array:
         return self.residual_decoder(q_residual, train=False)
+
+    # Hyperprior inference pieces (pipeline/codec_runtime.py hyper coding;
+    # only defined when cfg.hyperprior)
+    def hyper_analyze_motion(self, y: jax.Array) -> jax.Array:
+        return self.motion_hyper_encoder(y, train=False)
+
+    def hyper_analyze_residual(self, y: jax.Array) -> jax.Array:
+        return self.residual_hyper_encoder(y, train=False)
+
+    def hyper_synthesize_motion(
+        self, z_hat: jax.Array, target_hw: Tuple[int, int]
+    ) -> Tuple[jax.Array, jax.Array]:
+        return self.motion_hyper_decoder(z_hat, target_hw, train=False)
+
+    def hyper_synthesize_residual(
+        self, z_hat: jax.Array, target_hw: Tuple[int, int]
+    ) -> Tuple[jax.Array, jax.Array]:
+        return self.residual_hyper_decoder(z_hat, target_hw, train=False)
 
     def apply_mcn(
         self, warped: jax.Array, flow: jax.Array, ref: jax.Array

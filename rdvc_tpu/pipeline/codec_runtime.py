@@ -76,16 +76,38 @@ class CodecRuntime:
         # subtrees (a few KB) — the first device->host readback through the
         # axon relay pays a long handshake, and the full param tree is tens
         # of MB it never needs on host.
-        self.motion_tables: CdfTables = build_cdf_tables(
-            jax.tree_util.tree_map(
-                np.asarray, variables["params"]["motion_entropy_bottleneck"]
+        if self.cfg.hyperprior:
+            # Hyperprior variant: the factorized bottlenecks model the
+            # hyper-latents z; latents y are Gaussian-conditional coded
+            # against structural (checkpoint-independent) tables.
+            from rdvc_tpu.entropy.gaussian import build_gaussian_cdf_tables
+
+            self.motion_tables = None
+            self.residual_tables = None
+            self.motion_hyper_tables: CdfTables = build_cdf_tables(
+                jax.tree_util.tree_map(
+                    np.asarray, variables["params"]["motion_hyper_eb"]
+                )
             )
-        )
-        self.residual_tables: CdfTables = build_cdf_tables(
-            jax.tree_util.tree_map(
-                np.asarray, variables["params"]["residual_entropy_bottleneck"]
+            self.residual_hyper_tables: CdfTables = build_cdf_tables(
+                jax.tree_util.tree_map(
+                    np.asarray, variables["params"]["residual_hyper_eb"]
+                )
             )
-        )
+            self.gaussian_tables: CdfTables = build_gaussian_cdf_tables()
+        else:
+            self.motion_tables: CdfTables = build_cdf_tables(
+                jax.tree_util.tree_map(
+                    np.asarray,
+                    variables["params"]["motion_entropy_bottleneck"],
+                )
+            )
+            self.residual_tables: CdfTables = build_cdf_tables(
+                jax.tree_util.tree_map(
+                    np.asarray,
+                    variables["params"]["residual_entropy_bottleneck"],
+                )
+            )
         self.rans = RansCodec()
         self._apply = self.model.apply
         # Lane-aligned inference graph (models/fast_infer.py): exact s2d
@@ -552,9 +574,13 @@ class CodecRuntime:
         return bs, (h, w)
 
     def decompress_motion_symbols(self, bs: bytes, shape_hw) -> np.ndarray:
-        """-> int16 symbols (1, h, w, C); medians re-added on device."""
+        """-> int16 symbols (1, h, w, C); medians re-added on device.
+        Hyperprior payloads (0x04) return dequantized float32 latents
+        instead (the decode step body's median-add is dtype-gated)."""
         from rdvc_tpu.entropy.rans.coder import _channel_indexes, decode_payload
 
+        if bs and bs[0] == 0x04:
+            return self.hyper_decompress(bs, shape_hw, "motion")
         h, w = int(shape_hw[0]), int(shape_hw[1])
         c = self.motion_tables.medians.shape[0]
         idx = _channel_indexes((h, w), c)
@@ -564,11 +590,150 @@ class CodecRuntime:
     def decompress_residual_symbols(self, bs: bytes, shape_hw) -> np.ndarray:
         from rdvc_tpu.entropy.rans.coder import _channel_indexes, decode_payload
 
+        if bs and bs[0] == 0x04:
+            return self.hyper_decompress(bs, shape_hw, "residual")
         h, w = int(shape_hw[0]), int(shape_hw[1])
         c = self.residual_tables.medians.shape[0]
         idx = _channel_indexes((h, w), c)
         sym = decode_payload(bs, idx, self.residual_tables, self.rans)
         return sym.reshape(1, h, w, c).astype(np.int16)
+
+    # ------------------------------------------------------------------
+    # Hyperprior coding (ModelConfig.hyperprior; models/hyperprior.py).
+    # z rides the factorized host coder; y is Gaussian-conditional coded
+    # with per-element scale-bin indexes (entropy/gaussian.py). Encoder
+    # and decoder recompute (mu, sigma) from the SAME quantized z on the
+    # SAME device, so the indexes agree structurally. Host-coded serial
+    # path only — the fused/device-rANS fast paths remain factorized.
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _hyper_fns(self):
+        """Jitted hyper transforms. The hyper nets are norm-free and not
+        part of the fast_infer rewrite tree, so they always run the flax
+        graph (exactness pinned by tests/test_hyperprior.py)."""
+        model = self.model
+
+        @jax.jit
+        def am(variables, y):
+            return model.apply(
+                variables, y, method=VideoCodec.hyper_analyze_motion
+            )
+
+        @jax.jit
+        def ar(variables, y):
+            return model.apply(
+                variables, y, method=VideoCodec.hyper_analyze_residual
+            )
+
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def sm(variables, z_hat, hw):
+            return model.apply(
+                variables, z_hat, hw,
+                method=VideoCodec.hyper_synthesize_motion,
+            )
+
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def sr(variables, z_hat, hw):
+            return model.apply(
+                variables, z_hat, hw,
+                method=VideoCodec.hyper_synthesize_residual,
+            )
+
+        return {"motion": (am, sm), "residual": (ar, sr)}
+
+    @property
+    def _flax_variables(self):
+        return {
+            "params": self.variables["params"],
+            "batch_stats": self.variables.get("batch_stats", {}),
+        }
+
+    def _hyper_mu_sigma(self, z_hat_np, shape_hw, which):
+        """Quantized z (1, zh, zw, Cz) float32 -> (mu, sigma) numpy arrays
+        of shape (h, w, C). Shared by compress and decompress so both
+        sides derive identical Gaussian parameters."""
+        _, synth = self._hyper_fns[which]
+        mu, sigma = synth(
+            self._flax_variables,
+            jnp.asarray(z_hat_np),
+            (int(shape_hw[0]), int(shape_hw[1])),
+        )
+        return np.asarray(mu[0], np.float32), np.asarray(sigma[0], np.float32)
+
+    def hyper_compress(self, latents, which: str):
+        """Float latents (1, h, w, C) -> (0x04 payload bytes, (h, w))."""
+        from rdvc_tpu.entropy.gaussian import scale_indexes
+        from rdvc_tpu.entropy.rans.coder import (
+            _channel_indexes,
+            pack_hyper_payload,
+        )
+
+        analyze, _ = self._hyper_fns[which]
+        z_tables = (
+            self.motion_hyper_tables
+            if which == "motion"
+            else self.residual_hyper_tables
+        )
+        y = jnp.asarray(latents)
+        z = analyze(self._flax_variables, y)
+        z_np = np.asarray(z, np.float32)
+        zh, zw, cz = z_np.shape[1], z_np.shape[2], z_np.shape[3]
+        z_sym = np.round(
+            np.asarray(z_np[0], np.float64) - z_tables.medians[None, None, :]
+        ).astype(np.int32)
+        z_bytes = self.rans.encode(
+            z_sym.ravel(), _channel_indexes((zh, zw), cz), z_tables
+        )
+        z_hat = (
+            z_sym.astype(np.float32) + z_tables.medians[None, None, :]
+        )[None]
+        h, w = int(y.shape[1]), int(y.shape[2])
+        mu, sigma = self._hyper_mu_sigma(z_hat, (h, w), which)
+        y_np = np.asarray(y, np.float32)
+        sym = np.round(
+            np.asarray(y_np[0], np.float64) - mu
+        ).astype(np.int32)
+        idx = scale_indexes(sigma)
+        y_bytes = self.rans.encode(
+            sym.ravel(), idx.ravel(), self.gaussian_tables
+        )
+        return pack_hyper_payload((zh, zw), z_bytes, y_bytes), (h, w)
+
+    def hyper_decompress(self, payload: bytes, shape_hw, which: str):
+        """0x04 payload -> dequantized float32 latents (1, h, w, C): the
+        decode step body skips its median-add for float inputs, so these
+        slot straight into the fused serial decode."""
+        from rdvc_tpu.entropy.gaussian import scale_indexes
+        from rdvc_tpu.entropy.rans.coder import (
+            _channel_indexes,
+            unpack_hyper_payload,
+        )
+
+        z_tables = (
+            self.motion_hyper_tables
+            if which == "motion"
+            else self.residual_hyper_tables
+        )
+        c = (
+            self.cfg.motion_latent_channels
+            if which == "motion"
+            else self.cfg.residual_latent_channels
+        )
+        (zh, zw), z_bytes, y_bytes = unpack_hyper_payload(payload)
+        cz = self.cfg.hyper_channels
+        z_sym = self.rans.decode(
+            z_bytes, _channel_indexes((zh, zw), cz), z_tables
+        ).reshape(zh, zw, cz)
+        z_hat = (
+            z_sym.astype(np.float32) + z_tables.medians[None, None, :]
+        )[None]
+        h, w = int(shape_hw[0]), int(shape_hw[1])
+        mu, sigma = self._hyper_mu_sigma(z_hat, (h, w), which)
+        idx = scale_indexes(sigma)
+        y_sym = self.rans.decode(
+            y_bytes, idx.ravel(), self.gaussian_tables
+        ).reshape(h, w, c)
+        return (y_sym.astype(np.float32) + mu)[None]
 
     # ------------------------------------------------------------------
     # Device-side entropy coding fast path: the TPU emits the compressed
@@ -996,19 +1161,27 @@ class CodecRuntime:
         )
 
     def compress_motion(self, latents) -> Tuple[bytes, Tuple[int, int]]:
+        if self.cfg.hyperprior:
+            return self.hyper_compress(latents, "motion")
         lat = np.asarray(latents, np.float32)
         bs = encode_with_tables(lat, self.motion_tables, self.rans)
         return bs, (lat.shape[1], lat.shape[2])
 
     def compress_residual(self, latents) -> Tuple[bytes, Tuple[int, int]]:
+        if self.cfg.hyperprior:
+            return self.hyper_compress(latents, "residual")
         lat = np.asarray(latents, np.float32)
         bs = encode_with_tables(lat, self.residual_tables, self.rans)
         return bs, (lat.shape[1], lat.shape[2])
 
     def decompress_motion(self, bs: bytes, shape_hw) -> np.ndarray:
+        if self.cfg.hyperprior:
+            return self.hyper_decompress(bs, shape_hw, "motion")
         return decode_with_tables(bs, shape_hw, self.motion_tables, self.rans)
 
     def decompress_residual(self, bs: bytes, shape_hw) -> np.ndarray:
+        if self.cfg.hyperprior:
+            return self.hyper_decompress(bs, shape_hw, "residual")
         return decode_with_tables(bs, shape_hw, self.residual_tables, self.rans)
 
     def reconstruct_p_frame(
@@ -1034,6 +1207,12 @@ class CodecRuntime:
 
         latent_samples: {"motion": (N,h,w,C) array, "residual": ...}
         """
+        if self.cfg.hyperprior:
+            raise NotImplementedError(
+                "EB clip calibration fits the factorized latent densities; "
+                "the hyperprior model adapts its rate through the learned "
+                "hyper-synthesis instead (fine-tune the checkpoint)."
+            )
         import optax
 
         params = dict(self.variables["params"])
@@ -1117,7 +1296,10 @@ class CodecRuntime:
 
     def quantized_latents(self, latents, which: str) -> np.ndarray:
         """Round latents to what a rANS round-trip would produce (symbols
-        relative to the channel medians) without touching the coder."""
+        relative to the channel medians) without touching the coder.
+        Factorized model only (hyperprior quantizes against per-element
+        means from the hyper-synthesis; use hyper_compress/decompress)."""
+        assert not self.cfg.hyperprior, "factorized-model utility"
         tables = self.motion_tables if which == "motion" else self.residual_tables
         lat = np.asarray(latents, np.float64)
         med = tables.medians[None, None, None, :]

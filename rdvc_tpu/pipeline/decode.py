@@ -48,17 +48,31 @@ def decode_video(
     from rdvc_tpu.utils.runtime import enable_persistent_cache
 
     enable_persistent_cache()
-    runtime = runtime or CodecRuntime(
-        model_cfg=config.model_config(),
-        checkpoint_path=(
-            config.codec_checkpoint_path
-            if os.path.exists(config.codec_checkpoint_path)
-            else None
-        ),
-    )
-
     reader = RdvcReader(config.input_rdvc_file)
     meta = reader.metadata
+    if runtime is None:
+        model_cfg = config.model_config()
+        # Self-configure the entropy model from the container metadata
+        # (the checkpoint must match it either way; this saves the caller
+        # from repeating --hyperprior at decode time).
+        if meta.get("entropy_model") == "hyperprior" and not model_cfg.hyperprior:
+            import dataclasses as _dc
+
+            hc = (
+                meta.get("encoder_config_summary", {}).get("hyper_channels")
+                or model_cfg.hyper_channels
+            )
+            model_cfg = _dc.replace(
+                model_cfg, hyperprior=True, hyper_channels=int(hc)
+            )
+        runtime = CodecRuntime(
+            model_cfg=model_cfg,
+            checkpoint_path=(
+                config.codec_checkpoint_path
+                if os.path.exists(config.codec_checkpoint_path)
+                else None
+            ),
+        )
     width, height = meta["original_dimensions_wh"]
     fps = float(meta.get("original_fps", 30.0))
 

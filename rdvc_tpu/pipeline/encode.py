@@ -86,8 +86,15 @@ def encode_video(
     raft_hw = (config.raft_resize_height, config.raft_resize_width)
 
     # Fused single-dispatch path when the flow estimator is the JAX RAFT;
-    # host backends (farneback/zero) fall back to the staged path.
-    use_fused = config.raft_backend in ("auto", "raft", "jax")
+    # host backends (farneback/zero) fall back to the staged path. The
+    # hyperprior model also takes the staged path: its y-coder needs
+    # (mu, sigma) from the coded hyper-latent per frame (host rANS between
+    # analysis and synthesis), which the fused device-rANS paths don't
+    # model — see codec_runtime.hyper_compress.
+    hyper = getattr(runtime.cfg, "hyperprior", False)
+    use_fused = (
+        config.raft_backend in ("auto", "raft", "jax") and not hyper
+    )
     flow_fn = None
     if use_fused:
         try:
@@ -379,6 +386,7 @@ def encode_video(
         "iframe_format": "JPEG",
         "iframe_jpeg_quality": config.iframe_jpeg_quality,
         "total_pframe_payload_bytes": writer.total_pframe_payload_bytes,
+        "entropy_model": "hyperprior" if hyper else "factorized",
         "encoder_config_summary": {
             "input_file_path": str(config.input_file_path),
             "flow_compress_height": config.flow_compress_height,
@@ -386,6 +394,9 @@ def encode_video(
             "iframe_interval": config.iframe_interval,
             "iframe_jpeg_quality": config.iframe_jpeg_quality,
             "raft_backend_requested": config.raft_backend,
+            "hyper_channels": (
+                runtime.cfg.hyper_channels if hyper else None
+            ),
         },
     }
     if Path(config.input_file_path).suffix.lower() == ".yuv":

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
                    help="number of devices for the data mesh (default: all)")
     p.add_argument("--lambda_bpp", type=float, default=None,
                    help="override both bpp loss weights (rate emphasis)")
+    p.add_argument("--hyperprior", action="store_true",
+                   help="train the mean-scale hyperprior model variant")
+    p.add_argument("--hyper_channels", type=int, default=None)
     p.add_argument("--log_every", type=int, default=50)
     args = p.parse_args(argv)
 
@@ -115,7 +118,20 @@ def main(argv=None) -> int:
             )
     logging.info("dataset: %d pairs; devices: %d", len(dataset), n_dev)
 
-    trainer = Trainer(cfg=cfg, model_cfg=ModelConfig(), mesh=mesh)
+    model_cfg = ModelConfig()
+    if args.hyperprior:
+        import dataclasses as _dc
+
+        model_cfg = _dc.replace(
+            model_cfg,
+            hyperprior=True,
+            **(
+                {"hyper_channels": args.hyper_channels}
+                if args.hyper_channels
+                else {}
+            ),
+        )
+    trainer = Trainer(cfg=cfg, model_cfg=model_cfg, mesh=mesh)
     state = None
     if args.resume and os.path.exists(args.resume):
         state = trainer.restore(args.resume, spatial=cfg.crop_size or (64, 64))

@@ -157,6 +157,12 @@ class Trainer:
         w = loss_weights(self.cfg, phase)
         bpp_m = jnp.sum(out["rate_motion"]) / num_px
         bpp_r = jnp.sum(out["rate_residual"]) / num_px
+        # Hyperprior variant: the coded hyper-latent z is part of each
+        # stream's rate (keys exist only when ModelConfig.hyperprior).
+        if "rate_motion_hyper" in out:
+            bpp_m = bpp_m + jnp.sum(out["rate_motion_hyper"]) / num_px
+        if "rate_residual_hyper" in out:
+            bpp_r = bpp_r + jnp.sum(out["rate_residual_hyper"]) / num_px
         mse_flow = jnp.mean(
             jnp.square(out["flow_reconstructed"] - out["flow_input"])
         )
@@ -262,15 +268,36 @@ class Trainer:
     # ------------------------------------------------------------------
     def real_bitstream_check(self, state: TrainState, batch) -> Dict[str, float]:
         """Measure actual rANS bytes for one batch (the reference's
-        every-200-batch cross-validation, new_train.py:991-1005)."""
-        from rdvc_tpu.entropy.factorized import build_cdf_tables
-        from rdvc_tpu.entropy.rans import RansCodec, encode_with_tables
-
+        every-200-batch cross-validation, new_train.py:991-1005). The
+        hyperprior variant routes through the runtime's hyper coder so the
+        measured bytes include the z stream."""
         f1, f2, flow = (jnp.asarray(x, jnp.float32) for x in batch)
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             f1, f2, flow, 2, train=False,
         )
+        if self.model_cfg.hyperprior:
+            from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+
+            rt = CodecRuntime(
+                model_cfg=self.model_cfg,
+                variables={
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                },
+            )
+            sizes = {}
+            for name in ("motion", "residual"):
+                lat = np.asarray(out[f"{name}_latents"])
+                total = 0
+                for b in range(lat.shape[0]):
+                    bs, _ = rt.hyper_compress(lat[b : b + 1], name)
+                    total += len(bs)
+                sizes[f"{name}_kb"] = total / 1024.0
+            return sizes
+        from rdvc_tpu.entropy.factorized import build_cdf_tables
+        from rdvc_tpu.entropy.rans import RansCodec, encode_with_tables
+
         params_np = jax.tree_util.tree_map(np.asarray, state.params)
         codec = RansCodec()
         sizes = {}

@@ -24,6 +24,11 @@ MOTION_PATH_MODULES = (
     "motion_encoder",
     "motion_decoder",
     "motion_entropy_bottleneck",
+    # Hyperprior variant (ModelConfig.hyperprior): the motion hyper
+    # transforms + hyper bottleneck freeze with the rest of the motion path.
+    "motion_hyper_encoder",
+    "motion_hyper_decoder",
+    "motion_hyper_eb",
 )
 MCN_MODULE = "motion_compensation_net"
 

@@ -11,11 +11,14 @@ codec_processing.py:869-886).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Dict, Optional
 
 import numpy as np
 from flax import serialization
+
+log = logging.getLogger(__name__)
 
 _MAGIC = b"RDVCCKPT"
 
@@ -53,12 +56,57 @@ def save_checkpoint(
     os.replace(tmp, path)
 
 
+def _merge_state(template, stored, path=""):
+    """Recursively overlay a restored state dict onto the template tree:
+    keys present in both take the stored value (cast to the template
+    leaf's dtype); keys only in the template keep their init values; keys
+    only in the file are ignored. This is the reference's strict=False
+    semantics (new_train.py:397-411: missing EB buffers tolerated,
+    unexpected keys dropped) — flax's from_bytes alone hard-fails on any
+    key-set difference, which would forbid e.g. warm-starting a
+    hyperprior model from a factorized checkpoint's shared transforms."""
+    if isinstance(template, dict):
+        if not isinstance(stored, dict):
+            log.warning("checkpoint: %s is a leaf in file, subtree in "
+                        "template; keeping template", path or "<root>")
+            return template
+        out = {}
+        for k, v in template.items():
+            if k in stored:
+                out[k] = _merge_state(v, stored[k], f"{path}/{k}")
+            else:
+                log.info("checkpoint: %s/%s absent in file; keeping init",
+                         path, k)
+                out[k] = v
+        for k in stored:
+            if k not in template:
+                log.info("checkpoint: dropping unexpected key %s/%s",
+                         path, k)
+        return out
+    # Leaf: cast to the template's dtype (storage may be reduced
+    # precision). NOTE: read .dtype directly — np.asarray on a template
+    # leaf would pull device arrays back to host (slow over the relay).
+    if hasattr(template, "dtype"):
+        arr = np.asarray(stored)
+        if hasattr(template, "shape") and tuple(arr.shape) != tuple(
+            template.shape
+        ):
+            log.warning(
+                "checkpoint: %s shape %s != template %s; keeping init",
+                path, arr.shape, tuple(template.shape),
+            )
+            return template
+        return arr.astype(template.dtype)
+    return stored
+
+
 def load_checkpoint(path: str, template: Dict[str, Any]):
     """Load into the structure of `template` (from model.init).
 
     Returns (variables, metadata). Missing/extra keys are tolerated the way
     the reference loads with strict=False (new_train.py:397-411): the
-    template provides defaults for anything absent in the file.
+    template provides defaults for anything absent in the file; unexpected
+    file keys are dropped (both logged).
     """
     with open(path, "rb") as f:
         magic = f.read(8)
@@ -67,19 +115,13 @@ def load_checkpoint(path: str, template: Dict[str, Any]):
         meta_len = int.from_bytes(f.read(8), "big")
         metadata = json.loads(f.read(meta_len).decode("utf-8"))
         payload = f.read()
-    variables = serialization.from_bytes(template, payload)
-    # Restore the template's dtypes (storage may be reduced precision).
-    import jax
-
-    # NOTE: read .dtype directly — np.asarray on a template leaf would pull
-    # every device array back to the host (slow and flaky over the relay).
-    variables = jax.tree_util.tree_map(
-        lambda stored, tmpl: np.asarray(stored).astype(tmpl.dtype)
-        if hasattr(tmpl, "dtype")
-        else stored,
-        variables,
-        template,
-    )
+    stored = serialization.msgpack_restore(payload)
+    # Merge in state-dict space (tuples/custom nodes appear as {"0": ...}
+    # dicts there, so the overlay is pure dict-on-dict), then rebuild the
+    # template's structure through flax.
+    tmpl_sd = serialization.to_state_dict(template)
+    merged_sd = _merge_state(tmpl_sd, stored)
+    variables = serialization.from_state_dict(template, merged_sd)
     return variables, metadata
 
 

@@ -55,6 +55,12 @@ def main(argv=None) -> int:
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--pairs", type=int, default=256)
     p.add_argument("--out_dir", type=str, default="checkpoints")
+    p.add_argument("--hyperprior", action="store_true",
+                   help="train the mean-scale hyperprior variant "
+                        "(checkpoints named rate_hp_l*.ckpt; a factorized "
+                        "--base warm-starts the shared transforms, hyper "
+                        "modules start from init — strict=False load)")
+    p.add_argument("--hyper_channels", type=int, default=128)
     args = p.parse_args(argv)
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
@@ -75,11 +81,20 @@ def main(argv=None) -> int:
         cfg.lambda_bpp_residual = lam
         cfg.real_bitstream_check_every = 0
         cfg.vis_dir = ""  # keep fine-tunes lean
-        out = os.path.join(args.out_dir, f"rate_l{lam:g}.ckpt")
-        cfg.checkpoint_dir = os.path.join(args.out_dir, f"rate_l{lam:g}_run")
+        stem = f"rate_hp_l{lam:g}" if args.hyperprior else f"rate_l{lam:g}"
+        out = os.path.join(args.out_dir, f"{stem}.ckpt")
+        cfg.checkpoint_dir = os.path.join(args.out_dir, f"{stem}_run")
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
-        trainer = Trainer(cfg=cfg, model_cfg=ModelConfig())
+        import dataclasses as _dc
+
+        model_cfg = ModelConfig()
+        if args.hyperprior:
+            model_cfg = _dc.replace(
+                model_cfg, hyperprior=True,
+                hyper_channels=args.hyper_channels,
+            )
+        trainer = Trainer(cfg=cfg, model_cfg=model_cfg)
         state = None
         if base and os.path.exists(base):
             state = trainer.restore(base, spatial=cfg.crop_size)
