@@ -88,6 +88,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", type=str, default=None, help="JSON output path")
     p.add_argument("--plot", type=str, default=None)
     p.add_argument("--name", type=str, default="synthetic")
+    p.add_argument("--hyperprior", action="store_true",
+                   help="sweep a hyperprior checkpoint (decode "
+                        "self-configures; encode needs the flag)")
+    p.add_argument("--hyper_channels", type=int, default=None)
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -98,6 +102,10 @@ def main(argv=None) -> int:
     base = CodecConfig()
     if args.checkpoint:
         base.codec_checkpoint_path = args.checkpoint
+    if args.hyperprior:
+        base.hyperprior = True
+        if args.hyper_channels:
+            base.hyper_channels = args.hyper_channels
     with tempfile.TemporaryDirectory() as td:
         if args.synthetic:
             import os

@@ -128,6 +128,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--raft", type=str, default=None,
                    choices=["auto", "raft", "jax", "farneback", "zero"])
+    p.add_argument("--hyperprior", action="store_true",
+                   help="run a hyperprior checkpoint (decode "
+                        "self-configures; encode needs the flag)")
+    p.add_argument("--hyper_channels", type=int, default=None)
     p.add_argument("--out", type=str, default=None, help="write JSON here")
     args = p.parse_args(argv)
 
@@ -141,6 +145,10 @@ def main(argv=None) -> int:
         config.codec_checkpoint_path = args.checkpoint
     if args.raft:
         config.raft_backend = args.raft
+    if args.hyperprior:
+        config.hyperprior = True
+        if args.hyper_channels:
+            config.hyper_channels = args.hyper_channels
     result = run_uvg_benchmark(
         args.input, args.width, args.height,
         num_frames=args.frames, fps=args.fps, config=config,
