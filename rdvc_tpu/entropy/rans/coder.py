@@ -290,7 +290,7 @@ def pack_hyper_payload(
     z_shape_hw: tuple, z_bytes: bytes, y_bytes: bytes
 ) -> bytes:
     """Hyperprior per-AE payload:
-    [u8 0x04][i32 zH][i32 zW][u32 z_len][z rANS bytes][y rANS bytes].
+    [u8 0x04][i32 zH][i32 zW][u32 z_len][z blob][y blob].
 
     Nested inside the standard P-frame payload's per-AE byte slots
     (container/rdvc_format.py pack_pframe_payload) — the outer container
@@ -298,6 +298,12 @@ def pack_hyper_payload(
     The y section runs to the end of the blob (its length is the outer
     u32 minus the header), mirroring the container's length-prefix style
     (/root/reference/codec_processing.py:1482-1495 big-endian packing).
+
+    Both inner blobs carry their own transport tag: z is 0x01 (host
+    single-stream) or 0x03 (channel-aligned device rANS16); y is 0x01 or
+    0x05 (bin-indexed device rANS16, entropy/device_gaussian.py). The
+    decoder dispatches per blob, so device- and host-coded frames can mix
+    freely within one stream.
     """
     import struct
 

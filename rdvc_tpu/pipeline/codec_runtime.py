@@ -660,60 +660,215 @@ class CodecRuntime:
         )
         return np.asarray(mu[0], np.float32), np.asarray(sigma[0], np.float32)
 
-    def hyper_compress(self, latents, which: str):
-        """Float latents (1, h, w, C) -> (0x04 payload bytes, (h, w))."""
-        from rdvc_tpu.entropy.gaussian import scale_indexes
-        from rdvc_tpu.entropy.rans.coder import (
-            _channel_indexes,
-            pack_hyper_payload,
+    @functools.cached_property
+    def _hyper_device_coders(self):
+        """Device entropy coders for the hyper path: channel-aligned (0x03)
+        for z, bin-indexed Gaussian (0x05, entropy/device_gaussian.py) for
+        y. Built lazily; any failure routes the frame to the host coder."""
+        from rdvc_tpu.entropy.device_gaussian import (
+            DeviceGaussianDecoder,
+            DeviceGaussianEncoder,
+        )
+        from rdvc_tpu.entropy.device_rans import (
+            DeviceRansDecoder,
+            DeviceRansEncoder,
         )
 
-        analyze, _ = self._hyper_fns[which]
-        z_tables = (
+        return {
+            "motion": (
+                DeviceRansEncoder(self.motion_hyper_tables),
+                DeviceRansDecoder(self.motion_hyper_tables),
+            ),
+            "residual": (
+                DeviceRansEncoder(self.residual_hyper_tables),
+                DeviceRansDecoder(self.residual_hyper_tables),
+            ),
+            "gaussian": (
+                DeviceGaussianEncoder(self.gaussian_tables),
+                DeviceGaussianDecoder(self.gaussian_tables),
+            ),
+        }
+
+    @functools.cached_property
+    def _hyper_quant_fns(self):
+        """Jitted device-side quantization graphs for the hyper path.
+
+        CORRECTNESS INVARIANT: encoder and decoder must derive bit-
+        identical scale bins or the y stream is garbage. Both sides
+        therefore run the SAME compiled executable (`bins_fn`) on the same
+        quantized z — same device + same executable + same input is
+        deterministic, whereas re-deriving sigma inside two differently-
+        fused jit graphs is not guaranteed bitwise-stable across fusion
+        contexts. z_sym (exact integers) is the only value that crosses
+        between the encode-side and decode-side graphs.
+        """
+        from rdvc_tpu.entropy.gaussian import scale_indexes
+
+        model = self.model
+        fns = {}
+        for which, analyze_m, synth_m in (
+            (
+                "motion",
+                VideoCodec.hyper_analyze_motion,
+                VideoCodec.hyper_synthesize_motion,
+            ),
+            (
+                "residual",
+                VideoCodec.hyper_analyze_residual,
+                VideoCodec.hyper_synthesize_residual,
+            ),
+        ):
+
+            @jax.jit
+            def z_sym_fn(variables, y, z_med, _a=analyze_m):
+                z = model.apply(variables, y, method=_a)
+                return jnp.round(z.astype(jnp.float32) - z_med).astype(
+                    jnp.int32
+                )
+
+            @functools.partial(jax.jit, static_argnames=("hw",))
+            def bins_fn(variables, z_sym, z_med, hw, _s=synth_m):
+                z_hat = z_sym.astype(jnp.float32) + z_med
+                mu, sigma = model.apply(variables, z_hat, hw, method=_s)
+                bins = scale_indexes(sigma)
+                B = z_sym.shape[0]
+                return mu, bins.reshape(B, -1).astype(jnp.int32)
+
+            @jax.jit
+            def y_sym_fn(y, mu):
+                B = y.shape[0]
+                return (
+                    jnp.round(y.astype(jnp.float32) - mu)
+                    .astype(jnp.int32)
+                    .reshape(B, -1)
+                )
+
+            @jax.jit
+            def y_hat_fn(y_sym, mu):
+                B, h, w, c = mu.shape
+                return (
+                    y_sym.reshape(B, h, w, c).astype(jnp.float32) + mu
+                )
+
+            fns[which] = (z_sym_fn, bins_fn, y_sym_fn, y_hat_fn)
+        return fns
+
+    def _hyper_z_tables(self, which: str):
+        return (
             self.motion_hyper_tables
             if which == "motion"
             else self.residual_hyper_tables
         )
+
+    def hyper_compress(self, latents, which: str):
+        """Float latents (1, h, w, C) -> (0x04 payload bytes, (h, w)).
+
+        Device-first: z rides the channel-aligned coder (0x03), y the
+        bin-indexed Gaussian coder (0x05); only compressed words cross the
+        link. Escapes (rare sigma/symbol outliers) or device-coder failure
+        fall back to the host coder (0x01 blobs) for the frame.
+        """
         y = jnp.asarray(latents)
-        z = analyze(self._flax_variables, y)
-        z_np = np.asarray(z, np.float32)
-        zh, zw, cz = z_np.shape[1], z_np.shape[2], z_np.shape[3]
-        z_sym = np.round(
-            np.asarray(z_np[0], np.float64) - z_tables.medians[None, None, :]
-        ).astype(np.int32)
-        z_bytes = self.rans.encode(
-            z_sym.ravel(), _channel_indexes((zh, zw), cz), z_tables
-        )
-        z_hat = (
-            z_sym.astype(np.float32) + z_tables.medians[None, None, :]
-        )[None]
+        if os.environ.get("RDVC_DEVICE_HYPER", "1") != "0":
+            try:
+                out = self._hyper_compress_device(y, which)
+                if out is not None:
+                    return out
+            except Exception:
+                log.debug(
+                    "device hyper encode unavailable; host fallback",
+                    exc_info=True,
+                )
+        return self._hyper_compress_host(y, which)
+
+    def _hyper_prep(self, y, which: str):
+        """Shared quantization front half: (z_sym, y_sym flat, bins flat,
+        mu) — all device arrays, all derived through the shared jitted
+        graphs (see _hyper_quant_fns invariant)."""
+        z_tables = self._hyper_z_tables(which)
+        z_sym_fn, bins_fn, y_sym_fn, _ = self._hyper_quant_fns[which]
+        z_med = jnp.asarray(z_tables.medians)
+        z_sym = z_sym_fn(self._flax_variables, y, z_med)
         h, w = int(y.shape[1]), int(y.shape[2])
-        mu, sigma = self._hyper_mu_sigma(z_hat, (h, w), which)
-        y_np = np.asarray(y, np.float32)
-        sym = np.round(
-            np.asarray(y_np[0], np.float64) - mu
-        ).astype(np.int32)
-        idx = scale_indexes(sigma)
-        y_bytes = self.rans.encode(
-            sym.ravel(), idx.ravel(), self.gaussian_tables
+        mu, bins = bins_fn(self._flax_variables, z_sym, z_med, (h, w))
+        y_sym = y_sym_fn(y, mu)
+        return z_sym, y_sym, bins, mu
+
+    def _hyper_compress_device(self, y, which: str):
+        from rdvc_tpu.entropy.rans.coder import pack_hyper_payload
+
+        # The multistream device format carries 2 uint16 state words per
+        # stream (~16 KB at the default 4096 streams) — pure overhead for
+        # small tensors. Route small latents to the host coder; production
+        # shapes (1080p latents: millions of symbols) clear this easily.
+        n_y = int(np.prod(y.shape[1:]))
+        min_n = int(
+            os.environ.get("RDVC_HYPER_DEVICE_MIN_N", str(1 << 18))
         )
+        if n_y < min_n:
+            return None
+        z_sym, y_sym, bins, _ = self._hyper_prep(y, which)
+        z_enc, _ = self._hyper_device_coders[which]
+        g_enc, _ = self._hyper_device_coders["gaussian"]
+        z_payloads = z_enc.assemble_batch(
+            *z_enc.encode_device_batch(z_sym)
+        )
+        y_payloads = g_enc.assemble_batch(
+            *g_enc.encode_device_batch(y_sym, bins)
+        )
+        if z_payloads[0] is None or y_payloads[0] is None:
+            return None  # escape -> host fallback
+        zh, zw = int(z_sym.shape[1]), int(z_sym.shape[2])
+        h, w = int(y.shape[1]), int(y.shape[2])
+        return (
+            pack_hyper_payload((zh, zw), z_payloads[0], y_payloads[0]),
+            (h, w),
+        )
+
+    def _hyper_compress_host(self, y, which: str):
+        """Host rANS transport (0x01 blobs); quantization and bins still
+        come from the shared device graphs so host- and device-coded
+        frames are interchangeable."""
+        from rdvc_tpu.entropy.rans.coder import (
+            SINGLE_TAG,
+            _channel_indexes,
+            pack_hyper_payload,
+        )
+
+        z_tables = self._hyper_z_tables(which)
+        z_sym, y_sym, bins, _ = self._hyper_prep(y, which)
+        zh, zw, cz = (
+            int(z_sym.shape[1]), int(z_sym.shape[2]), int(z_sym.shape[3])
+        )
+        z_bytes = bytes([SINGLE_TAG]) + self.rans.encode(
+            np.asarray(z_sym[0]).ravel(),
+            _channel_indexes((zh, zw), cz),
+            z_tables,
+        )
+        y_bytes = bytes([SINGLE_TAG]) + self.rans.encode(
+            np.asarray(y_sym[0], np.int32),
+            np.asarray(bins[0], np.int32),
+            self.gaussian_tables,
+        )
+        h, w = int(y.shape[1]), int(y.shape[2])
         return pack_hyper_payload((zh, zw), z_bytes, y_bytes), (h, w)
 
     def hyper_decompress(self, payload: bytes, shape_hw, which: str):
         """0x04 payload -> dequantized float32 latents (1, h, w, C): the
         decode step body skips its median-add for float inputs, so these
-        slot straight into the fused serial decode."""
+        slot straight into the fused serial decode. Device-coded blobs
+        (0x03 z / 0x05 y) decode on device — symbols never cross the
+        link; host blobs (0x01) decode on the host thread."""
+        from rdvc_tpu.entropy.device_gaussian import BIN_TAG
+        from rdvc_tpu.entropy.device_rans import CA_TAG
         from rdvc_tpu.entropy.gaussian import scale_indexes
         from rdvc_tpu.entropy.rans.coder import (
+            SINGLE_TAG,
             _channel_indexes,
             unpack_hyper_payload,
         )
 
-        z_tables = (
-            self.motion_hyper_tables
-            if which == "motion"
-            else self.residual_hyper_tables
-        )
+        z_tables = self._hyper_z_tables(which)
         c = (
             self.cfg.motion_latent_channels
             if which == "motion"
@@ -721,19 +876,42 @@ class CodecRuntime:
         )
         (zh, zw), z_bytes, y_bytes = unpack_hyper_payload(payload)
         cz = self.cfg.hyper_channels
-        z_sym = self.rans.decode(
-            z_bytes, _channel_indexes((zh, zw), cz), z_tables
-        ).reshape(zh, zw, cz)
-        z_hat = (
-            z_sym.astype(np.float32) + z_tables.medians[None, None, :]
-        )[None]
         h, w = int(shape_hw[0]), int(shape_hw[1])
-        mu, sigma = self._hyper_mu_sigma(z_hat, (h, w), which)
-        idx = scale_indexes(sigma)
-        y_sym = self.rans.decode(
-            y_bytes, idx.ravel(), self.gaussian_tables
-        ).reshape(h, w, c)
-        return (y_sym.astype(np.float32) + mu)[None]
+
+        # --- z -> z_sym (device when 0x03) ---
+        if z_bytes[0] == CA_TAG:
+            _, z_dec = self._hyper_device_coders[which]
+            z_sym_dev = z_dec.decode_device([z_bytes]).reshape(
+                1, zh, zw, cz
+            )
+        elif z_bytes[0] == SINGLE_TAG:
+            z_sym_dev = jnp.asarray(
+                self.rans.decode(
+                    z_bytes[1:], _channel_indexes((zh, zw), cz), z_tables
+                ).reshape(1, zh, zw, cz)
+            )
+        else:
+            raise ValueError(f"unknown hyper z transport {z_bytes[0]}")
+
+        # --- (mu, bins) from z via the SAME compiled graph the encoder
+        # used (bit-identical bins; see _hyper_quant_fns invariant) ---
+        _, bins_fn, _, y_hat_fn = self._hyper_quant_fns[which]
+        z_med = jnp.asarray(z_tables.medians)
+        mu, bins = bins_fn(self._flax_variables, z_sym_dev, z_med, (h, w))
+
+        # --- y -> latents (dequantization stays on device both ways) ---
+        if y_bytes[0] == BIN_TAG:
+            _, g_dec = self._hyper_device_coders["gaussian"]
+            y_sym = g_dec.decode_device([y_bytes], bins)
+            return y_hat_fn(y_sym, mu)
+        if y_bytes[0] == SINGLE_TAG:
+            y_sym = self.rans.decode(
+                y_bytes[1:],
+                np.asarray(bins[0], np.int32),
+                self.gaussian_tables,
+            )
+            return y_hat_fn(jnp.asarray(y_sym[None]), mu)
+        raise ValueError(f"unknown hyper y transport {y_bytes[0]}")
 
     # ------------------------------------------------------------------
     # Device-side entropy coding fast path: the TPU emits the compressed

@@ -1,0 +1,159 @@
+"""Bin-indexed device Gaussian rANS16 (tag 0x05): kernel round trips vs
+the pure-Python executable spec, escape fallback policy, and agreement
+with the host Gaussian coder's tables (identical pmfs => identical rate
+behavior; only the transport layout differs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rdvc_tpu.entropy.device_gaussian import (
+    BIN_TAG,
+    DEFAULT_BINS,
+    DeviceGaussianDecoder,
+    DeviceGaussianEncoder,
+    bin_stream_layout,
+    decode_bin_py,
+    device_gaussian_rows,
+    parse_bin_header,
+)
+from rdvc_tpu.entropy.gaussian import (
+    build_gaussian_cdf_tables,
+    default_scale_table,
+    scale_indexes,
+)
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return build_gaussian_cdf_tables()
+
+
+def _sample(rng, n, n_bins=DEFAULT_BINS, sigma_hi=8.0):
+    """Symbols + bins drawn from the matched Gaussian (escape-free by
+    construction: sigma under the device cutoff, symbols clipped into the
+    row support)."""
+    table = default_scale_table()
+    sig = np.exp(rng.uniform(np.log(0.12), np.log(sigma_hi), n))
+    bins = np.asarray(scale_indexes(sig), np.int32)
+    assert bins.max() < n_bins
+    sym = np.round(rng.normal(0, sig)).astype(np.int32)
+    # clip into each bin's support
+    q = np.ceil(table[bins] * 6.1 - 0.5).astype(np.int64)
+    sym = np.clip(sym, -np.maximum(q, 1), np.maximum(q, 1)).astype(np.int32)
+    return sym, bins
+
+
+def test_device_rows_match_host_tables(tables):
+    start, freq, cdfp, max_v, offs = device_gaussian_rows(tables)
+    nb = int(max_v.shape[0])
+    for b in (0, nb // 2, nb - 1):
+        n = int(tables.cdf_length[b])
+        row = tables.quantized_cdf[b, :n].astype(np.int64)
+        assert np.array_equal(np.asarray(cdfp)[b, :n], row)
+        assert np.asarray(cdfp)[b, n:].min() == 1 << 16 if (
+            np.asarray(cdfp).shape[1] > n
+        ) else True
+        assert np.array_equal(
+            np.asarray(freq)[b, : n - 1], np.diff(row)
+        )
+        assert int(offs[b]) == int(tables.offset[b])
+        assert int(max_v[b]) == n - 2
+
+
+def test_roundtrip_device_vs_python_spec(tables):
+    rng = np.random.default_rng(0)
+    B, N = 3, 700  # non-multiple of the stream unroll on purpose
+    sym = np.stack([_sample(rng, N)[0] for _ in range(B)])
+    bins = np.stack([_sample(rng, N)[1] for _ in range(B)])
+    # regenerate so (sym, bins) pair up
+    pairs = [_sample(rng, N) for _ in range(B)]
+    sym = np.stack([p[0] for p in pairs])
+    bins = np.stack([p[1] for p in pairs])
+
+    enc = DeviceGaussianEncoder(tables, num_streams=16)
+    handles = enc.encode_device_batch(jnp.asarray(sym), jnp.asarray(bins))
+    payloads = enc.assemble_batch(*handles)
+    assert all(p is not None for p in payloads)
+    assert all(p[0] == BIN_TAG for p in payloads)
+
+    dec = DeviceGaussianDecoder(tables)
+    out = np.asarray(dec.decode_device(payloads, jnp.asarray(bins)))
+    assert np.array_equal(out, sym)
+
+    # Pure-Python spec decodes the same bytes to the same symbols.
+    for b in range(B):
+        py = decode_bin_py(payloads[b], bins[b], tables)
+        assert np.array_equal(py, sym[b])
+
+
+def test_header_and_layout(tables):
+    rng = np.random.default_rng(1)
+    sym, bins = _sample(rng, 260)
+    enc = DeviceGaussianEncoder(tables, num_streams=8)
+    payloads = enc.assemble_batch(
+        *enc.encode_device_batch(jnp.asarray(sym[None]), jnp.asarray(bins[None]))
+    )
+    n, S, L, spans = parse_bin_header(payloads[0])
+    assert n == 260 and S == 8
+    s_calc, l_calc = bin_stream_layout(260, 8)
+    assert (S, L) == (s_calc, l_calc)
+    assert sum(ln for _, ln in spans) + 11 + 4 * S == len(payloads[0])
+
+
+def test_escape_falls_back_to_none(tables):
+    rng = np.random.default_rng(2)
+    sym, bins = _sample(rng, 128)
+    enc = DeviceGaussianEncoder(tables, num_streams=4)
+
+    # out-of-support symbol -> escape -> None payload
+    sym_bad = sym.copy()
+    sym_bad[5] = 50_000
+    p = enc.assemble_batch(
+        *enc.encode_device_batch(
+            jnp.asarray(sym_bad[None]), jnp.asarray(bins[None])
+        )
+    )
+    assert p == [None]
+
+    # bin beyond the device cutoff -> escape -> None payload
+    bins_bad = bins.copy()
+    bins_bad[7] = DEFAULT_BINS + 3
+    p = enc.assemble_batch(
+        *enc.encode_device_batch(
+            jnp.asarray(sym[None]), jnp.asarray(bins_bad[None])
+        )
+    )
+    assert p == [None]
+
+    # the clean frame still encodes
+    p = enc.assemble_batch(
+        *enc.encode_device_batch(jnp.asarray(sym[None]), jnp.asarray(bins[None]))
+    )
+    assert p[0] is not None
+
+
+def test_rate_reasonable_vs_entropy(tables):
+    """Coded size should be near the Gaussian entropy of the symbols (the
+    pmfs are the host tables' — this pins the transport overhead, not the
+    model)."""
+    rng = np.random.default_rng(3)
+    N = 4096
+    sym, bins = _sample(rng, N, sigma_hi=4.0)
+    enc = DeviceGaussianEncoder(tables, num_streams=32)
+    p = enc.assemble_batch(
+        *enc.encode_device_batch(jnp.asarray(sym[None]), jnp.asarray(bins[None]))
+    )[0]
+    assert p is not None
+    # ideal bits from the quantized tables
+    bits = 0.0
+    cdf = tables.quantized_cdf.astype(np.int64)
+    for s, b in zip(sym, bins):
+        row = cdf[b]
+        v = int(s) - int(tables.offset[b])
+        f = row[v + 1] - row[v]
+        bits += -np.log2(f / (1 << 16))
+    ideal = bits / 8
+    overhead = len(p) - ideal
+    # per-stream state (4 B) + header + lens: 32 streams -> ~300 B fixed
+    assert overhead < 0.15 * ideal + 450, (len(p), ideal)

@@ -310,6 +310,41 @@ def test_runtime_hyper_rate_tracks_sigma(hyper_runtime):
     assert len(b_small) < len(b_big)
 
 
+def test_runtime_hyper_device_transport_roundtrip(hyper_runtime, monkeypatch):
+    """Force the device transport (0x03 z + 0x05 y blobs) through the
+    runtime seam and round-trip exactly. The encoder and decoder derive
+    bins through the SAME compiled graph (codec_runtime._hyper_quant_fns
+    invariant), so the device-coded stream must reproduce the host-path
+    latents bit-for-bit."""
+    from rdvc_tpu.entropy.device_gaussian import BIN_TAG as BT
+    from rdvc_tpu.entropy.device_rans import CA_TAG
+    from rdvc_tpu.entropy.rans.coder import unpack_hyper_payload
+
+    rt = hyper_runtime
+    rng = np.random.default_rng(5)
+    # Small amplitude: the untrained hyper-synthesis predicts sigma near
+    # its softplus floor (~0.8 -> row support +-5); larger symbols would
+    # escape to the host coder (that policy has its own test above).
+    y = rng.normal(0, 0.3, (1, 12, 20, 16)).astype(np.float32)
+
+    monkeypatch.setenv("RDVC_HYPER_DEVICE_MIN_N", "1")
+    bs_dev, shape = rt.compress_motion(y)
+    assert bs_dev[0] == HYPER_TAG
+    _, z_blob, y_blob = unpack_hyper_payload(bs_dev)
+    assert z_blob[0] == CA_TAG and y_blob[0] == BT
+
+    monkeypatch.setenv("RDVC_HYPER_DEVICE_MIN_N", str(1 << 30))
+    bs_host, _ = rt.compress_motion(y)
+    _, z_blob_h, y_blob_h = unpack_hyper_payload(bs_host)
+    assert z_blob_h[0] == 0x01 and y_blob_h[0] == 0x01
+
+    lat_dev = np.asarray(rt.decompress_motion_symbols(bs_dev, shape))
+    lat_host = np.asarray(rt.decompress_motion_symbols(bs_host, shape))
+    # Same quantization graphs => identical latents from both transports.
+    assert np.array_equal(lat_dev, lat_host)
+    assert float(np.abs(lat_dev - y).max()) <= 0.5 + 1e-5
+
+
 @pytest.mark.slow
 def test_hyper_pipeline_roundtrip(tmp_path):
     """encode -> .rdvc -> decode with the hyperprior model; the decoder
