@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device id; -1 forces CPU (reference parity flag)")
     p.add_argument("--raft_backend", type=str, default=None,
                    choices=["auto", "raft", "jax", "farneback", "zero"])
+    p.add_argument("--raft_resize_height", type=int, default=None)
+    p.add_argument("--raft_resize_width", type=int, default=None)
+    p.add_argument("--raft_iters", type=int, default=None)
     p.add_argument("--temporal_filter_alpha", type=float, default=None)
     p.add_argument("--input", type=str, default=None)
     p.add_argument("--output", type=str, default=None)
@@ -75,6 +78,9 @@ def config_from_args(args) -> CodecConfig:
         "flow_compress_height",
         "residual_compress_height",
         "low_motion_replacement_threshold",
+        "raft_resize_height",
+        "raft_resize_width",
+        "raft_iters",
     ):
         v = getattr(args, name)
         if v is not None:

@@ -309,6 +309,24 @@ class DeviceGaussianEncoder:
         flat_words, lengths, totals = _flatten_batch_kernel(words, flags)
         return flat_words, lengths, totals, states, esc, N, L
 
+    def encode_traced(self, sym_dev: jax.Array, bins_dev: jax.Array):
+        """Traceable encode+flatten+meta-pack for embedding inside a larger
+        jit (the fused hyper encode): (B, N) symbols + bins ->
+        ((B, L*S) stream-major words, (B, 2S+2) packed meta, L). The
+        Gaussian table rows are checkpoint-independent constants, so
+        (unlike the factorized coder's encode_consts) baking them into the
+        trace can never go stale."""
+        B, N = sym_dev.shape
+        S, L = bin_stream_layout(N, self.target_streams)
+        words, flags, states, esc = _encode_bin_batch_kernel(
+            sym_dev.astype(jnp.int32), bins_dev.astype(jnp.int32),
+            self._start_rows, self._freq_rows, self._max_v, self._offs,
+            S, L,
+        )
+        flat_words, lengths, totals = _flatten_batch_kernel(words, flags)
+        meta = _pack_assemble_meta(lengths, totals, states, esc)
+        return flat_words, meta, L
+
     def assemble_batch(
         self, flat_words, lengths, totals, states, esc, n_symbols, stream_len
     ) -> List[Optional[bytes]]:
@@ -324,6 +342,19 @@ class DeviceGaussianEncoder:
             else np.zeros((meta.shape[0], 0), np.uint16)
         )
         return self.assemble_batch_np(words_np, meta, n_symbols, stream_len)
+
+    def download_word_prefix(self, flat_words, meta_np) -> np.ndarray:
+        """Bucketed word-prefix download (only the valid prefix columns of
+        the (B, L*S) stream-major grid travel over the link)."""
+        S = (meta_np.shape[1] - 2) // 2
+        totals_np = meta_np[:, 2 * S]
+        B = meta_np.shape[0]
+        cap = flat_words.shape[1]
+        max_total = int(totals_np.max()) if totals_np.size else 0
+        cols = min(_bucket(max_total), cap)
+        if cols:
+            return np.asarray(flat_words[:, :cols])
+        return np.zeros((B, 0), np.uint16)
 
     def assemble_batch_np(
         self, words_np, meta_np, n_symbols, stream_len

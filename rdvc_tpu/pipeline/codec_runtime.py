@@ -197,12 +197,12 @@ class CodecRuntime:
 
         return fn
 
-    def _encode_body(
+    def _encode_latents_body(
         self, variables, raft_variables, prev_u8, cur_u8,
         raft_hw, comp_hw_flow, comp_hw_res,
     ):
-        """Traced fused P-frame encode: RAFT flow + warp + MCN + residual +
-        analysis transforms + symbol quantization, one dispatch."""
+        """Traced fused P-frame front half: RAFT flow + warp + MCN +
+        residual + analysis transforms -> (m_lat, r_lat) float latents."""
         prev = prev_u8.astype(jnp.float32) / 255.0
         cur = cur_u8.astype(jnp.float32) / 255.0
         H, W = prev.shape[1:3]
@@ -222,6 +222,18 @@ class CodecRuntime:
         )
         r_lat = self._apply(
             variables, residual_c, method=VideoCodec.analyze_residual
+        )
+        return m_lat, r_lat
+
+    def _encode_body(
+        self, variables, raft_variables, prev_u8, cur_u8,
+        raft_hw, comp_hw_flow, comp_hw_res,
+    ):
+        """Traced fused P-frame encode: RAFT flow + warp + MCN + residual +
+        analysis transforms + symbol quantization, one dispatch."""
+        m_lat, r_lat = self._encode_latents_body(
+            variables, raft_variables, prev_u8, cur_u8,
+            raft_hw, comp_hw_flow, comp_hw_res,
         )
         # Quantize to int16 symbols on device: halves the device->host
         # transfer (the dominant encode cost over a slow link) and moves
@@ -478,6 +490,236 @@ class CodecRuntime:
             if r_bs is None:
                 r_bs, _ = self.compress_residual_symbols(
                     np.asarray(r_sym[i : i + 1])
+                )
+            out.append((m_bs, m_shape, r_bs, r_shape))
+        return out
+
+    # ------------------------------------------------------------------
+    # Fused HYPER encode: three device stages per flush instead of ~10
+    # round trips per frame. Stage A (one jit): chain compute -> latents +
+    # quantized hyper-latents. Stage B: the SHARED per-frame bins_fn
+    # executables (B=1 — the decode side runs the identical executable on
+    # the identical z_sym; a batched variant would be a different XLA
+    # program with no bitwise-sigma guarantee, see _hyper_quant_fns).
+    # Stage C (one jit): y quantization + all four entropy encodes
+    # (z: channel-aligned 0x03, y: bin-indexed 0x05) + ONE packed meta.
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _fused_encode_chain_hyper_fn(self):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("raft_hw", "comp_hw_flow", "comp_hw_res",
+                             "i420"),
+        )
+        def fn(
+            variables, raft_variables, z_med_m, z_med_r, chain,
+            raft_hw, comp_hw_flow, comp_hw_res, i420,
+        ):
+            rgb = self._i420_to_rgb_traced(chain) if i420 else chain
+            m_lat, r_lat = self._encode_latents_body(
+                variables, raft_variables, rgb[:-1], rgb[1:],
+                raft_hw, comp_hw_flow, comp_hw_res,
+            )
+            z_m = self.model.apply(
+                variables, m_lat, method=VideoCodec.hyper_analyze_motion
+            )
+            z_r = self.model.apply(
+                variables, r_lat,
+                method=VideoCodec.hyper_analyze_residual,
+            )
+            z_sym_m = jnp.round(
+                z_m.astype(jnp.float32) - z_med_m
+            ).astype(jnp.int32)
+            z_sym_r = jnp.round(
+                z_r.astype(jnp.float32) - z_med_r
+            ).astype(jnp.int32)
+            return m_lat, r_lat, z_sym_m, z_sym_r
+
+        return fn
+
+    @functools.cached_property
+    def _fused_hyper_code_fn(self):
+        @jax.jit
+        def fn(
+            m_lat, mu_m, bins_m, z_sym_m,
+            r_lat, mu_r, bins_r, z_sym_r,
+            zm_consts, zr_consts,
+        ):
+            zm_enc, _ = self._hyper_device_coders["motion"]
+            zr_enc, _ = self._hyper_device_coders["residual"]
+            g_enc, _ = self._hyper_device_coders["gaussian"]
+            B = m_lat.shape[0]
+            y_sym_m = (
+                jnp.round(m_lat.astype(jnp.float32) - mu_m)
+                .astype(jnp.int32)
+                .reshape(B, -1)
+            )
+            y_sym_r = (
+                jnp.round(r_lat.astype(jnp.float32) - mu_r)
+                .astype(jnp.int32)
+                .reshape(B, -1)
+            )
+            zm_flat, zm_meta, _ = zm_enc.encode_traced(z_sym_m, zm_consts)
+            zr_flat, zr_meta, _ = zr_enc.encode_traced(z_sym_r, zr_consts)
+            ym_flat, ym_meta, _ = g_enc.encode_traced(y_sym_m, bins_m)
+            yr_flat, yr_meta, _ = g_enc.encode_traced(y_sym_r, bins_r)
+            meta_all = jnp.concatenate(
+                [zm_meta, ym_meta, zr_meta, yr_meta], axis=1
+            )
+            return zm_flat, ym_flat, zr_flat, yr_flat, meta_all
+
+        return fn
+
+    def encode_pframes_chain_hyper(
+        self,
+        chain,
+        raft_hw: Tuple[int, int],
+        comp_hw_flow: Tuple[int, int],
+        comp_hw_res: Tuple[int, int],
+        i420: bool = False,
+    ):
+        """Chain-batched hyperprior P-frame encode (device transport).
+        Returns opaque handles for assemble_frames_hyper()."""
+        if not hasattr(self, "_raft_model"):
+            raise RuntimeError("attach_raft() first")
+        zm_t = self.motion_hyper_tables
+        zr_t = self.residual_hyper_tables
+        m_lat, r_lat, z_sym_m, z_sym_r = self._fused_encode_chain_hyper_fn(
+            self.variables, self._raft_variables,
+            jnp.asarray(zm_t.medians), jnp.asarray(zr_t.medians),
+            jnp.asarray(chain),
+            tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+            i420,
+        )
+        _, bins_fn_m, _, _ = self._hyper_quant_fns["motion"]
+        _, bins_fn_r, _, _ = self._hyper_quant_fns["residual"]
+        hw_m = (int(m_lat.shape[1]), int(m_lat.shape[2]))
+        hw_r = (int(r_lat.shape[1]), int(r_lat.shape[2]))
+        B = int(m_lat.shape[0])
+        mus_m, binses_m, mus_r, binses_r = [], [], [], []
+        for b in range(B):
+            mu, bins = bins_fn_m(
+                self._flax_variables, z_sym_m[b : b + 1],
+                jnp.asarray(zm_t.medians), hw_m,
+            )
+            mus_m.append(mu)
+            binses_m.append(bins)
+            mu, bins = bins_fn_r(
+                self._flax_variables, z_sym_r[b : b + 1],
+                jnp.asarray(zr_t.medians), hw_r,
+            )
+            mus_r.append(mu)
+            binses_r.append(bins)
+        mu_m = jnp.concatenate(mus_m, axis=0)
+        bins_m = jnp.concatenate(binses_m, axis=0)
+        mu_r = jnp.concatenate(mus_r, axis=0)
+        bins_r = jnp.concatenate(binses_r, axis=0)
+        zm_enc, _ = self._hyper_device_coders["motion"]
+        zr_enc, _ = self._hyper_device_coders["residual"]
+        flats = self._fused_hyper_code_fn(
+            m_lat, mu_m, bins_m, z_sym_m,
+            r_lat, mu_r, bins_r, z_sym_r,
+            zm_enc.encode_consts, zr_enc.encode_consts,
+        )
+        return (*flats, m_lat, r_lat, z_sym_m, z_sym_r)
+
+    def encode_pframes_chain_latents(
+        self,
+        chain,
+        raft_hw: Tuple[int, int],
+        comp_hw_flow: Tuple[int, int],
+        comp_hw_res: Tuple[int, int],
+        i420: bool = False,
+    ):
+        """Chain-batched encode front half only: (B, h, w, C) float latent
+        stacks (the fused hyper path's failure fallback feeds these to the
+        per-frame hyper coder)."""
+        if not hasattr(self, "_raft_model"):
+            raise RuntimeError("attach_raft() first")
+        zm_t = self.motion_hyper_tables
+        zr_t = self.residual_hyper_tables
+        m_lat, r_lat, _, _ = self._fused_encode_chain_hyper_fn(
+            self.variables, self._raft_variables,
+            jnp.asarray(zm_t.medians), jnp.asarray(zr_t.medians),
+            jnp.asarray(chain),
+            tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+            i420,
+        )
+        return m_lat, r_lat
+
+    def assemble_frames_hyper(self, handles, n_real: Optional[int] = None):
+        """Host side of the fused hyper encode: ONE meta download covering
+        all four payload kinds + four bucketed word-prefix downloads, then
+        per-frame 0x04 payload packing. Escaped frames fall back to the
+        host transport recomputed from the kept latents."""
+        from rdvc_tpu.entropy.device_gaussian import bin_stream_layout
+        from rdvc_tpu.entropy.device_rans import ca_layout
+        from rdvc_tpu.entropy.rans.coder import pack_hyper_payload
+
+        (
+            zm_flat, ym_flat, zr_flat, yr_flat, meta_all,
+            m_lat, r_lat, z_sym_m, z_sym_r,
+        ) = handles
+        zm_enc, _ = self._hyper_device_coders["motion"]
+        zr_enc, _ = self._hyper_device_coders["residual"]
+        g_enc, _ = self._hyper_device_coders["gaussian"]
+        meta_np = np.asarray(meta_all)  # the single meta round trip
+        n_ym = int(np.prod(m_lat.shape[1:]))
+        n_yr = int(np.prod(r_lat.shape[1:]))
+        s_ym, l_ym = bin_stream_layout(n_ym, g_enc.target_streams)
+        s_yr, l_yr = bin_stream_layout(n_yr, g_enc.target_streams)
+        widths = [
+            2 * zm_enc.num_streams + 2,
+            2 * s_ym + 2,
+            2 * zr_enc.num_streams + 2,
+            2 * s_yr + 2,
+        ]
+        edges = np.cumsum([0] + widths)
+        metas = [
+            meta_np[:, edges[i] : edges[i + 1]] for i in range(4)
+        ]
+        zm_words = zm_enc.download_word_prefix(zm_flat, metas[0])
+        ym_words = g_enc.download_word_prefix(ym_flat, metas[1])
+        zr_words = zr_enc.download_word_prefix(zr_flat, metas[2])
+        yr_words = g_enc.download_word_prefix(yr_flat, metas[3])
+
+        zm_shape = (z_sym_m.shape[1], z_sym_m.shape[2])
+        zr_shape = (z_sym_r.shape[1], z_sym_r.shape[2])
+        n_zm = int(np.prod(z_sym_m.shape[1:]))
+        n_zr = int(np.prod(z_sym_r.shape[1:]))
+        _, _, l_zm = ca_layout(
+            z_sym_m.shape[3], zm_shape[0] * zm_shape[1],
+            zm_enc.target_streams,
+        )
+        _, _, l_zr = ca_layout(
+            z_sym_r.shape[3], zr_shape[0] * zr_shape[1],
+            zr_enc.target_streams,
+        )
+        zm_list = zm_enc.assemble_batch_np(zm_words, metas[0], n_zm, l_zm)
+        ym_list = g_enc.assemble_batch_np(ym_words, metas[1], n_ym, l_ym)
+        zr_list = zr_enc.assemble_batch_np(zr_words, metas[2], n_zr, l_zr)
+        yr_list = g_enc.assemble_batch_np(yr_words, metas[3], n_yr, l_yr)
+
+        m_shape = (int(m_lat.shape[1]), int(m_lat.shape[2]))
+        r_shape = (int(r_lat.shape[1]), int(r_lat.shape[2]))
+        n = len(zm_list) if n_real is None else min(n_real, len(zm_list))
+        out = []
+        for i in range(n):
+            if zm_list[i] is None or ym_list[i] is None:
+                m_bs, _ = self._hyper_compress_host(
+                    m_lat[i : i + 1], "motion"
+                )
+            else:
+                m_bs = pack_hyper_payload(
+                    zm_shape, zm_list[i], ym_list[i]
+                )
+            if zr_list[i] is None or yr_list[i] is None:
+                r_bs, _ = self._hyper_compress_host(
+                    r_lat[i : i + 1], "residual"
+                )
+            else:
+                r_bs = pack_hyper_payload(
+                    zr_shape, zr_list[i], yr_list[i]
                 )
             out.append((m_bs, m_shape, r_bs, r_shape))
         return out

@@ -87,13 +87,13 @@ def encode_video(
 
     # Fused single-dispatch path when the flow estimator is the JAX RAFT;
     # host backends (farneback/zero) fall back to the staged path. The
-    # hyperprior model also takes the staged path: its y-coder needs
-    # (mu, sigma) from the coded hyper-latent per frame (host rANS between
-    # analysis and synthesis), which the fused device-rANS paths don't
-    # model — see codec_runtime.hyper_compress.
+    # hyperprior model uses its own fused path (encode_pframes_chain_hyper:
+    # chain compute + per-frame shared bins graphs + all four entropy
+    # encodes in three dispatches per flush) when device entropy coding is
+    # on; otherwise the staged per-frame path.
     hyper = getattr(runtime.cfg, "hyperprior", False)
-    use_fused = (
-        config.raft_backend in ("auto", "raft", "jax") and not hyper
+    use_fused = config.raft_backend in ("auto", "raft", "jax") and (
+        not hyper or getattr(config, "device_entropy_coding", False)
     )
     flow_fn = None
     if use_fused:
@@ -149,7 +149,7 @@ def encode_video(
     # uses prev/cur stacks via encode_pframes_batched.
     encode_mesh = False
     enc_devices = max(1, getattr(config, "encode_gop_devices", 1))
-    if use_fused and enc_devices > 1:
+    if use_fused and enc_devices > 1 and not hyper:
         import jax
 
         from rdvc_tpu.parallel.mesh import make_data_mesh
@@ -205,6 +205,28 @@ def encode_video(
             log.exception("device entropy coding failed; host fallback")
             return download_only(n_real, m_sym, r_sym)
 
+    def assemble_hyper(n_real, handles):
+        """io_pool worker for the fused hyper encode: one meta + four
+        word-prefix downloads remain. Failure degrades to per-frame host
+        transport on the latents kept in the handles."""
+        try:
+            with timer.span("payload_download"):
+                results = runtime.assemble_frames_hyper(handles, n_real)
+            return [rans_pool.submit(lambda v=v: v) for v in results]
+        except Exception:
+            log.exception("fused hyper assembly failed; host fallback")
+            return hyper_per_frame(n_real, handles[5], handles[6])
+
+    def hyper_per_frame(n_real, m_lat, r_lat):
+        """Per-frame hyper coding on already-computed chain latents (the
+        fused hyper path's failure fallback)."""
+        def one(i):
+            m_bs, m_shape = runtime.compress_motion(m_lat[i : i + 1])
+            r_bs, r_shape = runtime.compress_residual(r_lat[i : i + 1])
+            return m_bs, m_shape, r_bs, r_shape
+
+        return [rans_pool.submit(one, i) for i in range(n_real)]
+
     def assemble_coded(n_real, handles):
         """io_pool worker for the fully-fused coded encode: all device work
         already happened in the flush dispatch; only the meta + word-prefix
@@ -241,6 +263,7 @@ def encode_video(
         )
         device_coding = getattr(config, "device_entropy_coding", False)
         coded_handles = None
+        hyper_latents = None
         with timer.span("pframe_dispatch"):
             if contiguous:
                 # Consecutive P-frames share boundary frames: upload the
@@ -253,7 +276,48 @@ def encode_video(
                     + [b[2] for b in batch]
                     + [batch[-1][2]] * (B - len(batch))
                 )
-                if device_coding:
+                if hyper:
+                    # Fused hyper path: chain compute + shared per-frame
+                    # bins graphs + all four entropy encodes in three
+                    # dispatches per flush (the staged hyper path costs
+                    # ~10 round trips per FRAME). Failure degrades to
+                    # per-frame coding on chain latents. Small latents
+                    # skip the device transport (its 2-words-per-stream
+                    # state floor; same policy as hyper_compress).
+                    ds = runtime.cfg.downsample_factor
+                    n_y = (
+                        -(-res_hw[0] // ds) * -(-res_hw[1] // ds)
+                        * runtime.cfg.residual_latent_channels
+                    )
+                    min_n = int(
+                        os.environ.get(
+                            "RDVC_HYPER_DEVICE_MIN_N", str(1 << 18)
+                        )
+                    )
+                    try:
+                        if n_y >= min_n:
+                            coded_handles = (
+                                runtime.encode_pframes_chain_hyper(
+                                    chain, raft_hw, flow_hw, res_hw,
+                                    i420=planes_mode,
+                                )
+                            )
+                        else:
+                            hyper_latents = (
+                                runtime.encode_pframes_chain_latents(
+                                    chain, raft_hw, flow_hw, res_hw,
+                                    i420=planes_mode,
+                                )
+                            )
+                    except Exception:
+                        log.exception(
+                            "fused hyper encode failed; latents fallback"
+                        )
+                        hyper_latents = runtime.encode_pframes_chain_latents(
+                            chain, raft_hw, flow_hw, res_hw,
+                            i420=planes_mode,
+                        )
+                elif device_coding:
                     # Fully-fused path: model compute + device entropy
                     # coding in ONE dispatch (the staged path's extra
                     # dispatches each block behind queued device work
@@ -267,7 +331,7 @@ def encode_video(
                         log.exception(
                             "fused coded encode failed; staged fallback"
                         )
-                if coded_handles is None:
+                if coded_handles is None and not hyper:
                     enc_chain = (
                         runtime.encode_pframes_chain_i420
                         if planes_mode
@@ -275,6 +339,13 @@ def encode_video(
                     )
                     m_sym, r_sym = enc_chain(chain, raft_hw, flow_hw, res_hw)
             else:
+                if hyper:
+                    # Unreachable in practice: hyper mode never sets the
+                    # gop mesh and batches only consecutive P-frames; the
+                    # outer handler forces an I-frame if this ever trips.
+                    raise RuntimeError(
+                        "hyper encode requires a contiguous chain"
+                    )
                 prevs = np.stack([to_rgb(b[1]) for b in batch])
                 curs = np.stack([to_rgb(b[2]) for b in batch])
                 if prevs.shape[0] < B:
@@ -291,8 +362,16 @@ def encode_video(
         n_real = len(batch)
         batch.clear()
         if coded_handles is not None:
+            assemble_fn = assemble_hyper if hyper else assemble_coded
             inflight.append(
-                (indices, io_pool.submit(assemble_coded, n_real, coded_handles))
+                (indices, io_pool.submit(assemble_fn, n_real, coded_handles))
+            )
+            return
+        if hyper:
+            m_lat, r_lat = hyper_latents
+            inflight.append(
+                (indices,
+                 io_pool.submit(hyper_per_frame, n_real, m_lat, r_lat))
             )
             return
         worker = device_code_batch if device_coding else download_only

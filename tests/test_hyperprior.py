@@ -345,6 +345,43 @@ def test_runtime_hyper_device_transport_roundtrip(hyper_runtime, monkeypatch):
     assert float(np.abs(lat_dev - y).max()) <= 0.5 + 1e-5
 
 
+def test_fused_hyper_chain_encode_roundtrip(hyper_runtime, monkeypatch):
+    """Fused hyper encode (chain -> latents/z in one jit, shared per-frame
+    bins graphs, all four entropy encodes + one packed meta) must produce
+    0x04 payloads the standard hyper decode round-trips to within half a
+    quantization step of the chain latents — whichever transport each
+    frame ended up on (device, or per-frame host fallback on escapes)."""
+    from rdvc_tpu.models.raft import RaftRunner
+
+    rt = hyper_runtime
+    monkeypatch.setenv("RDVC_HYPER_DEVICE_MIN_N", "1")
+    runner = RaftRunner(iters=2, spatial=(32, 48))
+    rt.attach_raft(runner.model, runner.variables)
+    rng = np.random.RandomState(5)
+    # Smooth, slowly-varying chain: keeps untrained-model latents small.
+    base = rng.rand(64, 96, 3)
+    chain = np.stack(
+        [np.clip(base + 0.01 * t, 0, 1) * 255 for t in range(4)]
+    ).astype(np.uint8)
+    hw = ((32, 48), (64, 96), (64, 96))
+
+    handles = rt.encode_pframes_chain_hyper(chain, *hw)
+    results = rt.assemble_frames_hyper(handles, 3)
+    m_lat, r_lat = np.asarray(handles[5]), np.asarray(handles[6])
+    assert len(results) == 3
+    for i, (m_bs, m_shape, r_bs, r_shape) in enumerate(results):
+        assert m_bs[0] == HYPER_TAG and r_bs[0] == HYPER_TAG
+        y_m = np.asarray(rt.decompress_motion_symbols(m_bs, m_shape))
+        y_r = np.asarray(rt.decompress_residual_symbols(r_bs, r_shape))
+        assert float(np.abs(y_m - m_lat[i : i + 1]).max()) <= 0.5 + 1e-4
+        assert float(np.abs(y_r - r_lat[i : i + 1]).max()) <= 0.5 + 1e-4
+
+    # Failure fallback: per-frame coding on chain latents matches shapes.
+    lat = rt.encode_pframes_chain_latents(chain, *hw)
+    assert lat[0].shape == handles[5].shape
+    assert lat[1].shape == handles[6].shape
+
+
 @pytest.mark.slow
 def test_hyper_pipeline_roundtrip(tmp_path):
     """encode -> .rdvc -> decode with the hyperprior model; the decoder
@@ -393,5 +430,37 @@ def test_hyper_pipeline_roundtrip(tmp_path):
     assert out0.shape == frames[0].shape
     # Random-init model: only pipeline integrity is asserted (frames
     # decode, finite, in range) — RD quality needs training.
+    for f in dec["decoded_frames"]:
+        assert f.dtype == np.uint8 and f.shape == frames[0].shape
+
+
+@pytest.mark.slow
+def test_hyper_pipeline_fused_device_roundtrip(tmp_path, monkeypatch):
+    """encode -> decode with the FUSED hyper encode path engaged (JAX RAFT
+    chain + device transport forced small): exercises encode.py's hyper
+    flush branch, escape fallbacks, and decode of mixed-transport frames."""
+    from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+    from rdvc_tpu.pipeline.decode import decode_video
+    from rdvc_tpu.pipeline.encode import encode_video
+    from tests.test_pipeline import _make_video, _small_config
+
+    monkeypatch.setenv("RDVC_HYPER_DEVICE_MIN_N", "1")
+    in_path, frames = _make_video(tmp_path)
+    config = _small_config(tmp_path, in_path)
+    config.hyperprior = True
+    config.hyper_channels = TINY["hyper_channels"]
+    config.motion_latent_channels = TINY["motion_latent_channels"]
+    config.residual_latent_channels = TINY["residual_latent_channels"]
+    config.encoder_base_channels = TINY["encoder_base_channels"]
+    config.mcn_base_channels = TINY["mcn_base_channels"]
+    config.raft_backend = "auto"  # fused chain path (random RAFT weights)
+    config.device_entropy_coding = True
+
+    enc_rt = CodecRuntime(model_cfg=config.model_config(), seed=0)
+    enc = encode_video(config, runtime=enc_rt)
+    assert enc["frames"] == 6
+    assert enc["metadata"]["entropy_model"] == "hyperprior"
+    dec = decode_video(config, collect_frames=True)
+    assert dec["frames"] == 6
     for f in dec["decoded_frames"]:
         assert f.dtype == np.uint8 and f.shape == frames[0].shape
