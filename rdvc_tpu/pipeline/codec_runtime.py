@@ -1183,10 +1183,20 @@ class CodecRuntime:
         """Channel-aligned (tag 0x03) payloads -> (B, h, w, C) int16 symbols
         ON DEVICE: the host uploads only compressed words, never raw symbols
         (the upload pipe runs at tens of MB/s — raw symbols are ~100x the
-        bytes). Raises ValueError on non-chunked payloads; callers fall back
-        to the host coder + symbol upload for those."""
+        bytes). Hyperprior (0x04) payloads whose blobs are device-coded
+        batch-decode to float32 latents instead (median-add is dtype-gated
+        downstream). Raises ValueError on payloads needing the host coder;
+        callers fall back to host decode + symbol upload for those."""
         from rdvc_tpu.entropy.device_rans import CA_TAG
 
+        if (
+            self.cfg.hyperprior
+            and payloads
+            and all(p and p[0] == 0x04 for p in payloads)
+        ):
+            return self.decode_hyper_payloads_device(
+                payloads, which, shape_hw
+            )
         if any(not p or p[0] != CA_TAG for p in payloads):
             raise ValueError("non-chunked payload; host decode required")
         if which == "motion":
@@ -1197,6 +1207,53 @@ class CodecRuntime:
         h, w = int(shape_hw[0]), int(shape_hw[1])
         sym = dec.decode_device(list(payloads))  # (B, h*w*c) int32
         return sym.reshape(len(payloads), h, w, c).astype(jnp.int16)
+
+    def decode_hyper_payloads_device(self, payloads, which: str, shape_hw):
+        """Batch-decode hyperprior (0x04) payloads whose inner blobs are
+        device-coded (z: 0x03, y: 0x05) -> (B, h, w, C) float32 latents ON
+        DEVICE. One batched z kernel, per-frame shared bins graphs, one
+        batched y kernel. Raises ValueError if any frame used the host
+        transport (mixed groups fall back to per-frame host decode)."""
+        from rdvc_tpu.entropy.device_gaussian import BIN_TAG
+        from rdvc_tpu.entropy.device_rans import CA_TAG
+        from rdvc_tpu.entropy.rans.coder import unpack_hyper_payload
+
+        parts = [unpack_hyper_payload(p) for p in payloads]
+        if any(
+            z[0] != CA_TAG or y[0] != BIN_TAG for _, z, y in parts
+        ):
+            raise ValueError(
+                "host-transport hyper blob; per-frame decode required"
+            )
+        zh, zw = parts[0][0]
+        if any(p[0] != (zh, zw) for p in parts):
+            raise ValueError("inconsistent hyper z shapes in group")
+        cz = self.cfg.hyper_channels
+        c = (
+            self.cfg.motion_latent_channels
+            if which == "motion"
+            else self.cfg.residual_latent_channels
+        )
+        h, w = int(shape_hw[0]), int(shape_hw[1])
+        z_tables = self._hyper_z_tables(which)
+        _, z_dec = self._hyper_device_coders[which]
+        _, g_dec = self._hyper_device_coders["gaussian"]
+        z_sym = z_dec.decode_device([z for _, z, _ in parts]).reshape(
+            len(parts), zh, zw, cz
+        )
+        _, bins_fn, _, y_hat_fn = self._hyper_quant_fns[which]
+        z_med = jnp.asarray(z_tables.medians)
+        mus, binses = [], []
+        for b in range(len(parts)):
+            mu, bins = bins_fn(
+                self._flax_variables, z_sym[b : b + 1], z_med, (h, w)
+            )
+            mus.append(mu)
+            binses.append(bins)
+        mu = jnp.concatenate(mus, axis=0)
+        bins = jnp.concatenate(binses, axis=0)
+        y_sym = g_dec.decode_device([y for _, _, y in parts], bins)
+        return y_hat_fn(y_sym, mu)
 
     def encode_frame_device_rans(self, m_sym_1, r_sym_1):
         """Dispatch device entropy coding for ONE frame's symbol tensors

@@ -131,6 +131,7 @@ def test_hyper_payload_pack_unpack():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_codec_hyper_forward_and_grads():
     from rdvc_tpu.models.codec import VideoCodec, init_codec_variables
 
@@ -193,6 +194,7 @@ def test_phase3_res_ae_freezes_motion_hyper_modules():
     assert mask["residual_hyper_encoder"]["w"]
 
 
+@pytest.mark.slow
 def test_trainer_step_hyperprior_smoke():
     from rdvc_tpu.config import TrainConfig
     from rdvc_tpu.train.data import SyntheticFlowPairDataset, batch_iterator
@@ -345,6 +347,7 @@ def test_runtime_hyper_device_transport_roundtrip(hyper_runtime, monkeypatch):
     assert float(np.abs(lat_dev - y).max()) <= 0.5 + 1e-5
 
 
+@pytest.mark.slow
 def test_fused_hyper_chain_encode_roundtrip(hyper_runtime, monkeypatch):
     """Fused hyper encode (chain -> latents/z in one jit, shared per-frame
     bins graphs, all four entropy encodes + one packed meta) must produce
@@ -380,6 +383,30 @@ def test_fused_hyper_chain_encode_roundtrip(hyper_runtime, monkeypatch):
     lat = rt.encode_pframes_chain_latents(chain, *hw)
     assert lat[0].shape == handles[5].shape
     assert lat[1].shape == handles[6].shape
+
+    # Batched device decode (the GOP-prefetch path) must equal the
+    # per-frame decode for every device-transport frame in the group.
+    # Byte 13 is the inner z blob's transport tag (after the 0x04 header).
+    m_payloads = [r[0] for r in results]
+    if all(p[13] == 0x03 for p in m_payloads):
+        batch = np.asarray(
+            rt.decode_payloads_device(
+                m_payloads, "motion", results[0][1]
+            )
+        )
+        assert batch.dtype == np.float32
+        for i, p in enumerate(m_payloads):
+            one = np.asarray(
+                rt.decompress_motion_symbols(p, results[i][1])
+            )
+            assert np.array_equal(batch[i : i + 1], one)
+    else:
+        # Mixed transports: the batched path must refuse so the caller
+        # falls back to per-frame decode.
+        with pytest.raises(ValueError):
+            rt.decode_hyper_payloads_device(
+                m_payloads, "motion", results[0][1]
+            )
 
 
 @pytest.mark.slow
