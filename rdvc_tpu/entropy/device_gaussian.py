@@ -456,6 +456,51 @@ def parse_bin_header(payload: bytes):
     return n_symbols, S, stream_len, spans
 
 
+def decode_bin(
+    payload: bytes,
+    bins: np.ndarray,
+    tables: CdfTables,
+    n_bins: int = DEFAULT_BINS,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """Host decode of a tag-0x05 payload: threaded C++ fast path
+    (rdvc_rans16bin_decode) with the pure-Python executable spec as
+    fallback. Used by host-only consumers; the pipeline decodes 0x05 on
+    device (codec_runtime.decode_hyper_payloads_device)."""
+    import ctypes
+
+    from rdvc_tpu.entropy.rans.coder import _load_lib
+
+    lib = _load_lib()
+    if lib is None:
+        return decode_bin_py(payload, bins, tables, n_bins)
+    n_symbols = parse_bin_header(payload)[0]
+    buf = np.ascontiguousarray(np.frombuffer(payload, np.uint8))
+    bins_c = np.ascontiguousarray(np.asarray(bins, np.int32).ravel())
+    if bins_c.shape[0] < n_symbols:
+        raise ValueError("bins shorter than payload symbol count")
+    cdfs = np.ascontiguousarray(tables.quantized_cdf, np.uint32)
+    lens = np.ascontiguousarray(tables.cdf_length, np.int32)
+    offs = np.ascontiguousarray(tables.offset, np.int32)
+    out = np.zeros(n_symbols, np.int32)
+    rc = lib.rdvc_rans16bin_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.shape[0],
+        n_symbols,
+        bins_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        min(n_bins, cdfs.shape[0]),
+        cdfs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cdfs.shape[1],
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        num_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"bin-indexed rANS decode failed: {rc}")
+    return out
+
+
 def decode_bin_py(
     payload: bytes,
     bins: np.ndarray,

@@ -319,4 +319,96 @@ int64_t rdvc_rans16ca_decode(const uint8_t* payload, int64_t payload_len,
   return status.load();
 }
 
+// Decode a BIN-INDEXED chunked rANS16 payload (tag 0x05; executable spec:
+// decode_bin_py in entropy/device_gaussian.py — the hyperprior y-stream).
+// Stream s codes FLAT elements [s*L, (s+1)*L); each element's CDF row is
+// bins[e] (derived by the caller from the coded hyper-latent, never stored
+// in the payload). Escapes are invalid by construction (escaped frames use
+// the host 0x01 transport).
+int64_t rdvc_rans16bin_decode(const uint8_t* payload, int64_t payload_len,
+                              int64_t n_symbols, const int32_t* bins,
+                              int32_t n_bins, const uint32_t* cdfs,
+                              int64_t cdf_stride,
+                              const int32_t* cdf_lengths,
+                              const int32_t* offsets, int32_t* out,
+                              int32_t num_threads) {
+  if (payload_len < 11 || payload[0] != 0x05) return -30;
+  uint32_t n = 0;
+  std::memcpy(&n, payload + 1, 4);
+  uint16_t S = 0;
+  std::memcpy(&S, payload + 5, 2);
+  uint32_t L32 = 0;
+  std::memcpy(&L32, payload + 7, 4);
+  if (static_cast<int64_t>(n) != n_symbols || S == 0 || L32 == 0) return -31;
+  const int64_t L = L32;
+  int64_t off = 11 + 4ll * S;
+  if (off > payload_len) return -32;
+  std::vector<StreamSpan> spans(S);
+  for (int s = 0; s < S; ++s) {
+    uint32_t len = 0;
+    std::memcpy(&len, payload + 11 + 4ll * s, 4);
+    if (off + len > payload_len || (len & 1)) return -33;
+    spans[s].words = reinterpret_cast<const uint16_t*>(payload + off);
+    spans[s].n_words = len / 2;
+    spans[s].base = static_cast<int64_t>(s) * L;
+    spans[s].count = std::max<int64_t>(
+        0, std::min<int64_t>(L, n_symbols - spans[s].base));
+    off += len;
+  }
+
+  std::atomic<int> next(0);
+  std::atomic<int> status(0);
+  const int nt = std::max(1, std::min<int>(num_threads, S));
+  auto worker = [&]() {
+    while (true) {
+      const int s = next.fetch_add(1);
+      if (s >= S || status.load() != 0) return;
+      const StreamSpan& sp = spans[s];
+      if (sp.count <= 0) continue;
+      if (sp.n_words < 2) {
+        status.store(-34);
+        return;
+      }
+      uint32_t state =
+          (static_cast<uint32_t>(sp.words[0]) << 16) | sp.words[1];
+      int64_t pos = 2;
+      for (int64_t t = 0; t < sp.count; ++t) {
+        const int64_t e = sp.base + t;
+        const int32_t b = bins[e];
+        if (b < 0 || b >= n_bins) {
+          status.store(-35);
+          return;
+        }
+        const uint32_t* cdf = cdfs + b * cdf_stride;
+        const int32_t cdf_len = cdf_lengths[b];
+        const uint32_t cum = state & 0xffffu;
+        int32_t sym = 0;
+        while (sym + 1 < cdf_len - 1 && cdf[sym + 1] <= cum) ++sym;
+        state = (cdf[sym + 1] - cdf[sym]) * (state >> 16) + cum - cdf[sym];
+        if (state < (1u << 16)) {
+          if (pos >= sp.n_words) {
+            status.store(-36);
+            return;
+          }
+          state = (state << 16) | sp.words[pos++];
+        }
+        if (sym == cdf_len - 2) {
+          status.store(-37);  // escape: invalid in device-coded streams
+          return;
+        }
+        out[e] = sym + offsets[b];
+      }
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return status.load();
+}
+
 }  // extern "C"

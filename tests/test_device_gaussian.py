@@ -81,10 +81,18 @@ def test_roundtrip_device_vs_python_spec(tables):
     out = np.asarray(dec.decode_device(payloads, jnp.asarray(bins)))
     assert np.array_equal(out, sym)
 
-    # Pure-Python spec decodes the same bytes to the same symbols.
+    # Pure-Python spec decodes the same bytes to the same symbols; the
+    # threaded C++ decoder must agree with the spec (decode_bin prefers
+    # native and is tested here against both).
+    from rdvc_tpu.entropy.device_gaussian import decode_bin
+    from rdvc_tpu.entropy.rans.coder import native_available
+
     for b in range(B):
         py = decode_bin_py(payloads[b], bins[b], tables)
         assert np.array_equal(py, sym[b])
+        if native_available():
+            cc = decode_bin(payloads[b], bins[b], tables)
+            assert np.array_equal(cc, sym[b])
 
 
 def test_header_and_layout(tables):
