@@ -14,5 +14,8 @@ echo "== profile_stages =="
 timeout 3600 python scripts/profile_stages.py benchmarks/profile_stages_latest.json
 echo "== train_bench =="
 timeout 3600 python scripts/train_bench.py benchmarks/train_bench.json
+echo "== hyperprior A/B (production arch) =="
+AB_CPU=0 AB_FULL=1 AB_CROP=128 AB_STEPS=200 timeout 5400 \
+  python scripts/ab_hyperprior.py benchmarks/ab_hyperprior_tpu.json
 echo "== sustained (600 frames) =="
 timeout 10800 python scripts/sustained_run.py
