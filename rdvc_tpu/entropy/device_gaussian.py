@@ -330,69 +330,27 @@ class DeviceGaussianEncoder:
     def assemble_batch(
         self, flat_words, lengths, totals, states, esc, n_symbols, stream_len
     ) -> List[Optional[bytes]]:
-        S = lengths.shape[1]
+        from rdvc_tpu.entropy.device_rans import download_word_prefix_np
+
         meta = np.asarray(_pack_assemble_meta(lengths, totals, states, esc))
-        totals_np = meta[:, 2 * S]
-        cap = flat_words.shape[1]
-        max_total = int(totals_np.max()) if totals_np.size else 0
-        cols = min(_bucket(max_total), cap)
-        words_np = (
-            np.asarray(flat_words[:, :cols])
-            if cols
-            else np.zeros((meta.shape[0], 0), np.uint16)
-        )
+        words_np = download_word_prefix_np(flat_words, meta)
         return self.assemble_batch_np(words_np, meta, n_symbols, stream_len)
 
     def download_word_prefix(self, flat_words, meta_np) -> np.ndarray:
-        """Bucketed word-prefix download (only the valid prefix columns of
-        the (B, L*S) stream-major grid travel over the link)."""
-        S = (meta_np.shape[1] - 2) // 2
-        totals_np = meta_np[:, 2 * S]
-        B = meta_np.shape[0]
-        cap = flat_words.shape[1]
-        max_total = int(totals_np.max()) if totals_np.size else 0
-        cols = min(_bucket(max_total), cap)
-        if cols:
-            return np.asarray(flat_words[:, :cols])
-        return np.zeros((B, 0), np.uint16)
+        from rdvc_tpu.entropy.device_rans import download_word_prefix_np
+
+        return download_word_prefix_np(flat_words, meta_np)
 
     def assemble_batch_np(
         self, words_np, meta_np, n_symbols, stream_len
     ) -> List[Optional[bytes]]:
-        S = (meta_np.shape[1] - 2) // 2
-        lens = meta_np[:, :S]
-        states_np = meta_np[:, S : 2 * S]
-        totals_np = meta_np[:, 2 * S]
-        esc_np = meta_np[:, 2 * S + 1]
-        out: List[Optional[bytes]] = []
-        for b in range(lens.shape[0]):
-            if int(esc_np[b]) != 0:
-                out.append(None)
-                continue
-            k = lens[b].astype(np.int64)
-            total = int(totals_np[b])
-            buf = np.zeros(total + 2 * S, np.uint16)
-            sid = np.repeat(np.arange(S, dtype=np.int64), k)
-            prefix = np.concatenate(([0], np.cumsum(k)[:-1]))
-            state_pos = prefix + 2 * np.arange(S, dtype=np.int64)
-            buf[state_pos] = (states_np[b] >> 16).astype(np.uint16)
-            buf[state_pos + 1] = (states_np[b] & 0xFFFF).astype(np.uint16)
-            buf[np.arange(total, dtype=np.int64) + 2 * (sid + 1)] = (
-                words_np[b, :total]
-            )
-            byte_lens = (2 * (k + 2)).astype("<u4")
-            out.append(
-                b"".join(
-                    (
-                        struct.pack(
-                            "<BIHI", BIN_TAG, n_symbols, S, stream_len
-                        ),
-                        byte_lens.tobytes(),
-                        buf.astype("<u2").tobytes(),
-                    )
-                )
-            )
-        return out
+        """Shared splice (device_rans.splice_stream_payloads) with the
+        bin-indexed tag — the 0x03/0x05 body layouts are identical."""
+        from rdvc_tpu.entropy.device_rans import splice_stream_payloads
+
+        return splice_stream_payloads(
+            words_np, meta_np, n_symbols, stream_len, BIN_TAG
+        )
 
 
 class DeviceGaussianDecoder:

@@ -324,17 +324,7 @@ class DeviceRansEncoder:
         return self.assemble_batch_np(words_np, meta, n_symbols, stream_len)
 
     def download_word_prefix(self, flat_words, meta_np) -> np.ndarray:
-        """Bucketed word-prefix download: only the valid prefix columns of
-        the (B, L*S) stream-major word grid travel over the link."""
-        S = self.num_streams
-        totals_np = meta_np[:, 2 * S]
-        B = meta_np.shape[0]
-        cap = flat_words.shape[1]
-        max_total = int(totals_np.max()) if totals_np.size else 0
-        cols = min(_bucket(max_total), cap)
-        if cols:
-            return np.asarray(flat_words[:, :cols])  # (B, cols)
-        return np.zeros((B, 0), np.uint16)
+        return download_word_prefix_np(flat_words, meta_np)
 
     def assemble_batch_np(
         self, words_np, meta_np, n_symbols, stream_len
@@ -342,43 +332,70 @@ class DeviceRansEncoder:
         """Pure-host splice from already-downloaded words + packed meta
         (see _pack_assemble_meta layout). Used by assemble_batch and by the
         fused encode path that downloads motion+residual meta in one trip."""
-        S = self.num_streams
-        lens = meta_np[:, :S]
-        states_np = meta_np[:, S : 2 * S]            # (B, S)
-        totals_np = meta_np[:, 2 * S]
-        esc_np = meta_np[:, 2 * S + 1]
-        B = lens.shape[0]
+        return splice_stream_payloads(
+            words_np, meta_np, n_symbols, stream_len, CA_TAG
+        )
 
-        out: List[Optional[bytes]] = []
-        for b in range(B):
-            if int(esc_np[b]) != 0:
-                out.append(None)
-                continue
-            k = lens[b].astype(np.int64)            # (S,)
-            total = int(totals_np[b])
-            # Payload word layout per stream: [state_hi, state_lo,
-            # reversed emitted words]; streams back to back. Data word i of
-            # the stream-major flat buffer belongs to stream sid[i] and
-            # lands 2*(sid[i]+1) slots later once states are spliced in.
-            buf = np.zeros(total + 2 * S, np.uint16)
-            sid = np.repeat(np.arange(S, dtype=np.int64), k)
-            prefix = np.concatenate(([0], np.cumsum(k)[:-1]))
-            state_pos = prefix + 2 * np.arange(S, dtype=np.int64)
-            buf[state_pos] = (states_np[b] >> 16).astype(np.uint16)
-            buf[state_pos + 1] = (states_np[b] & 0xFFFF).astype(np.uint16)
-            buf[np.arange(total, dtype=np.int64) + 2 * (sid + 1)] = (
-                words_np[b, :total]
+
+def download_word_prefix_np(flat_words, meta_np) -> np.ndarray:
+    """Bucketed word-prefix download: only the valid prefix columns of the
+    (B, L*S) stream-major word grid travel over the link. Shared by the
+    channel-aligned (0x03) and bin-indexed (0x05) assemblers — the packed
+    meta layout ([lengths(S), states(S), total, esc]) is common."""
+    S = (meta_np.shape[1] - 2) // 2
+    totals_np = meta_np[:, 2 * S]
+    B = meta_np.shape[0]
+    cap = flat_words.shape[1]
+    max_total = int(totals_np.max()) if totals_np.size else 0
+    cols = min(_bucket(max_total), cap)
+    if cols:
+        return np.asarray(flat_words[:, :cols])  # (B, cols)
+    return np.zeros((B, 0), np.uint16)
+
+
+def splice_stream_payloads(
+    words_np, meta_np, n_symbols, stream_len, tag
+) -> List[Optional[bytes]]:
+    """Per-stream state/word splice into final payload bytes — the single
+    host-side assembler for both multistream formats (tag 0x03 / 0x05;
+    identical body layout). Frames with escapes yield None."""
+    S = (meta_np.shape[1] - 2) // 2
+    lens = meta_np[:, :S]
+    states_np = meta_np[:, S : 2 * S]            # (B, S)
+    totals_np = meta_np[:, 2 * S]
+    esc_np = meta_np[:, 2 * S + 1]
+    B = lens.shape[0]
+
+    out: List[Optional[bytes]] = []
+    for b in range(B):
+        if int(esc_np[b]) != 0:
+            out.append(None)
+            continue
+        k = lens[b].astype(np.int64)            # (S,)
+        total = int(totals_np[b])
+        # Payload word layout per stream: [state_hi, state_lo,
+        # reversed emitted words]; streams back to back. Data word i of
+        # the stream-major flat buffer belongs to stream sid[i] and
+        # lands 2*(sid[i]+1) slots later once states are spliced in.
+        buf = np.zeros(total + 2 * S, np.uint16)
+        sid = np.repeat(np.arange(S, dtype=np.int64), k)
+        prefix = np.concatenate(([0], np.cumsum(k)[:-1]))
+        state_pos = prefix + 2 * np.arange(S, dtype=np.int64)
+        buf[state_pos] = (states_np[b] >> 16).astype(np.uint16)
+        buf[state_pos + 1] = (states_np[b] & 0xFFFF).astype(np.uint16)
+        buf[np.arange(total, dtype=np.int64) + 2 * (sid + 1)] = (
+            words_np[b, :total]
+        )
+        byte_lens = (2 * (k + 2)).astype("<u4")
+        payload = b"".join(
+            (
+                struct.pack("<BIHI", tag, n_symbols, S, stream_len),
+                byte_lens.tobytes(),
+                buf.astype("<u2").tobytes(),
             )
-            byte_lens = (2 * (k + 2)).astype("<u4")
-            payload = b"".join(
-                (
-                    struct.pack("<BIHI", CA_TAG, n_symbols, S, stream_len),
-                    byte_lens.tobytes(),
-                    buf.astype("<u2").tobytes(),
-                )
-            )
-            out.append(payload)
-        return out
+        )
+        out.append(payload)
+    return out
 
 
 _DEC_UNROLL = 8

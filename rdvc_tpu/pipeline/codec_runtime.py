@@ -47,7 +47,25 @@ class CodecRuntime:
                 self.model, jax.random.PRNGKey(seed)
             )
             if checkpoint_path:
-                variables, _ = load_checkpoint(checkpoint_path, variables)
+                variables, ckpt_meta = load_checkpoint(
+                    checkpoint_path, variables
+                )
+                # The merge-based loader tolerates tree mismatches (the
+                # reference's strict=False), which makes a wrong
+                # --hyperprior flag produce a valid-LOOKING model with
+                # random entropy parameters. The trainer records its
+                # model_config in the checkpoint metadata — cross-check
+                # the entropy-model variant and fail loudly on mismatch.
+                mc = (ckpt_meta or {}).get("model_config") or {}
+                if "hyperprior" in mc and bool(mc["hyperprior"]) != bool(
+                    self.cfg.hyperprior
+                ):
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} was trained with "
+                        f"hyperprior={mc['hyperprior']} but the runtime is "
+                        f"configured with hyperprior={self.cfg.hyperprior};"
+                        " pass the matching --hyperprior setting"
+                    )
         # Inference-time BatchNorm folding (models/fold.py): eval-mode BN is
         # a fixed per-channel affine that composes exactly into the
         # preceding conv — the runtime re-instantiates the model with
@@ -577,9 +595,14 @@ class CodecRuntime:
         comp_hw_flow: Tuple[int, int],
         comp_hw_res: Tuple[int, int],
         i420: bool = False,
+        n_real: Optional[int] = None,
     ):
         """Chain-batched hyperprior P-frame encode (device transport).
-        Returns opaque handles for assemble_frames_hyper()."""
+        Returns opaque handles for assemble_frames_hyper(). `n_real`
+        bounds the per-frame bins dispatches: padding rows (partial
+        flushes are chain-padded to the compiled batch) reuse the last
+        real frame's (mu, bins) — each skipped row saves two relay
+        round trips, and assemble drops the padded payloads anyway."""
         if not hasattr(self, "_raft_model"):
             raise RuntimeError("attach_raft() first")
         zm_t = self.motion_hyper_tables
@@ -596,8 +619,9 @@ class CodecRuntime:
         hw_m = (int(m_lat.shape[1]), int(m_lat.shape[2]))
         hw_r = (int(r_lat.shape[1]), int(r_lat.shape[2]))
         B = int(m_lat.shape[0])
+        n_live = B if n_real is None else max(1, min(n_real, B))
         mus_m, binses_m, mus_r, binses_r = [], [], [], []
-        for b in range(B):
+        for b in range(n_live):
             mu, bins = bins_fn_m(
                 self._flax_variables, z_sym_m[b : b + 1],
                 jnp.asarray(zm_t.medians), hw_m,
@@ -610,6 +634,11 @@ class CodecRuntime:
             )
             mus_r.append(mu)
             binses_r.append(bins)
+        for _ in range(B - n_live):  # padding rows reuse the last real
+            mus_m.append(mus_m[-1])
+            binses_m.append(binses_m[-1])
+            mus_r.append(mus_r[-1])
+            binses_r.append(binses_r[-1])
         mu_m = jnp.concatenate(mus_m, axis=0)
         bins_m = jnp.concatenate(binses_m, axis=0)
         mu_r = jnp.concatenate(mus_r, axis=0)
@@ -1017,9 +1046,12 @@ class CodecRuntime:
                 if out is not None:
                     return out
             except Exception:
-                log.debug(
-                    "device hyper encode unavailable; host fallback",
-                    exc_info=True,
+                # Loud like the factorized device-coding fallback
+                # (encode.py device_code_batch): silently losing the
+                # device transport means paying host-coder round trips
+                # on every frame.
+                log.exception(
+                    "device hyper encode failed; host transport fallback"
                 )
         return self._hyper_compress_host(y, which)
 
@@ -1103,7 +1135,6 @@ class CodecRuntime:
         link; host blobs (0x01) decode on the host thread."""
         from rdvc_tpu.entropy.device_gaussian import BIN_TAG
         from rdvc_tpu.entropy.device_rans import CA_TAG
-        from rdvc_tpu.entropy.gaussian import scale_indexes
         from rdvc_tpu.entropy.rans.coder import (
             SINGLE_TAG,
             _channel_indexes,
@@ -1229,11 +1260,6 @@ class CodecRuntime:
         if any(p[0] != (zh, zw) for p in parts):
             raise ValueError("inconsistent hyper z shapes in group")
         cz = self.cfg.hyper_channels
-        c = (
-            self.cfg.motion_latent_channels
-            if which == "motion"
-            else self.cfg.residual_latent_channels
-        )
         h, w = int(shape_hw[0]), int(shape_hw[1])
         z_tables = self._hyper_z_tables(which)
         _, z_dec = self._hyper_device_coders[which]

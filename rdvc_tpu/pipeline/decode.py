@@ -52,18 +52,26 @@ def decode_video(
     meta = reader.metadata
     if runtime is None:
         model_cfg = config.model_config()
-        # Self-configure the entropy model from the container metadata
-        # (the checkpoint must match it either way; this saves the caller
-        # from repeating --hyperprior at decode time).
-        if meta.get("entropy_model") == "hyperprior" and not model_cfg.hyperprior:
+        # Self-configure the entropy model from the container metadata in
+        # BOTH directions (the checkpoint must match it either way; this
+        # saves the caller from repeating --hyperprior at decode time and
+        # corrects a stray flag — streams written before the hyperprior
+        # existed carry no entropy_model key and are factorized).
+        stream_hyper = meta.get("entropy_model") == "hyperprior"
+        if stream_hyper != model_cfg.hyperprior:
             import dataclasses as _dc
 
+            log.info(
+                "decode: container metadata says entropy_model=%s; "
+                "overriding the configured model variant",
+                meta.get("entropy_model", "factorized"),
+            )
             hc = (
                 meta.get("encoder_config_summary", {}).get("hyper_channels")
                 or model_cfg.hyper_channels
             )
             model_cfg = _dc.replace(
-                model_cfg, hyperprior=True, hyper_channels=int(hc)
+                model_cfg, hyperprior=stream_hyper, hyper_channels=int(hc)
             )
         runtime = CodecRuntime(
             model_cfg=model_cfg,
@@ -679,13 +687,16 @@ def _dump_debug_frames(
 
     from PIL import Image
 
-    # q_m/q_r are int16 symbols; reconstruct_p_frame wants float latents.
-    q_m = np.asarray(q_m, np.float32) + runtime.motion_tables.medians[
-        None, None, None, :
-    ]
-    q_r = np.asarray(q_r, np.float32) + runtime.residual_tables.medians[
-        None, None, None, :
-    ]
+    # Factorized streams deliver int16 symbols (medians re-added here);
+    # hyperprior streams deliver already-dequantized float32 latents.
+    if np.issubdtype(np.asarray(q_m).dtype, np.integer):
+        q_m = np.asarray(q_m, np.float32) + runtime.motion_tables.medians[
+            None, None, None, :
+        ]
+    if np.issubdtype(np.asarray(q_r).dtype, np.integer):
+        q_r = np.asarray(q_r, np.float32) + runtime.residual_tables.medians[
+            None, None, None, :
+        ]
     out = runtime.reconstruct_p_frame(prev_raw, q_m, q_r, target_hw)
     d = config.debug_frames_dir_decode
     os.makedirs(d, exist_ok=True)

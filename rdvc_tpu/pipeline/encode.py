@@ -284,10 +284,19 @@ def encode_video(
                     # per-frame coding on chain latents. Small latents
                     # skip the device transport (its 2-words-per-stream
                     # state floor; same policy as hyper_compress).
+                    # BOTH latent tensors must clear the device-transport
+                    # floor: the fused path device-codes motion and
+                    # residual together, and a sub-threshold motion tensor
+                    # would pay ~32 KB/frame of stream-state overhead the
+                    # per-frame path (per-tensor routing) avoids.
                     ds = runtime.cfg.downsample_factor
-                    n_y = (
+                    n_r = (
                         -(-res_hw[0] // ds) * -(-res_hw[1] // ds)
                         * runtime.cfg.residual_latent_channels
+                    )
+                    n_m = (
+                        -(-flow_hw[0] // ds) * -(-flow_hw[1] // ds)
+                        * runtime.cfg.motion_latent_channels
                     )
                     min_n = int(
                         os.environ.get(
@@ -295,11 +304,12 @@ def encode_video(
                         )
                     )
                     try:
-                        if n_y >= min_n:
+                        if min(n_m, n_r) >= min_n:
                             coded_handles = (
                                 runtime.encode_pframes_chain_hyper(
                                     chain, raft_hw, flow_hw, res_hw,
                                     i420=planes_mode,
+                                    n_real=len(batch),
                                 )
                             )
                         else:

@@ -266,6 +266,55 @@ class Trainer:
         return self._step_cache[key]
 
     # ------------------------------------------------------------------
+    def _bitstream_runtime(self, state: TrainState):
+        """Cached CodecRuntime for the periodic bitstream check: a fresh
+        runtime per check would re-fold/re-rearrange the full param tree
+        and recompile every hyper jit graph each time (~minutes/check on
+        TPU). Fold and fast-infer are disabled (rate measurement only);
+        the jitted hyper graphs take variables as ARGUMENTS, so swapping
+        params in place is safe — only the z CDF tables must rebuild."""
+        import os as _os
+
+        from rdvc_tpu.entropy.factorized import build_cdf_tables
+        from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+
+        variables = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+        rt = getattr(self, "_rbc_rt", None)
+        if rt is None:
+            saved = {
+                k: _os.environ.get(k)
+                for k in ("RDVC_FOLD_BN", "RDVC_FAST_INFER")
+            }
+            _os.environ["RDVC_FOLD_BN"] = "0"
+            _os.environ["RDVC_FAST_INFER"] = "0"
+            try:
+                rt = CodecRuntime(
+                    model_cfg=self.model_cfg, variables=variables
+                )
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        _os.environ.pop(k, None)
+                    else:
+                        _os.environ[k] = v
+            self._rbc_rt = rt
+            return rt
+        rt.variables = variables
+        params_np = {
+            k: jax.tree_util.tree_map(np.asarray, state.params[k])
+            for k in ("motion_hyper_eb", "residual_hyper_eb")
+        }
+        rt.motion_hyper_tables = build_cdf_tables(
+            params_np["motion_hyper_eb"]
+        )
+        rt.residual_hyper_tables = build_cdf_tables(
+            params_np["residual_hyper_eb"]
+        )
+        return rt
+
     def real_bitstream_check(self, state: TrainState, batch) -> Dict[str, float]:
         """Measure actual rANS bytes for one batch (the reference's
         every-200-batch cross-validation, new_train.py:991-1005). The
@@ -277,23 +326,27 @@ class Trainer:
             f1, f2, flow, 2, train=False,
         )
         if self.model_cfg.hyperprior:
-            from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
-
-            rt = CodecRuntime(
-                model_cfg=self.model_cfg,
-                variables={
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                },
-            )
+            rt = self._bitstream_runtime(state)
             sizes = {}
-            for name in ("motion", "residual"):
-                lat = np.asarray(out[f"{name}_latents"])
-                total = 0
-                for b in range(lat.shape[0]):
-                    bs, _ = rt.hyper_compress(lat[b : b + 1], name)
-                    total += len(bs)
-                sizes[f"{name}_kb"] = total / 1024.0
+            import os as _os
+
+            prev = _os.environ.get("RDVC_DEVICE_HYPER")
+            _os.environ["RDVC_DEVICE_HYPER"] = "0"  # host transport: the
+            # cached runtime's device-coder tables would go stale as
+            # params move; the HOST path rebuilds z tables per refresh.
+            try:
+                for name in ("motion", "residual"):
+                    lat = np.asarray(out[f"{name}_latents"])
+                    total = 0
+                    for b in range(lat.shape[0]):
+                        bs, _ = rt.hyper_compress(lat[b : b + 1], name)
+                        total += len(bs)
+                    sizes[f"{name}_kb"] = total / 1024.0
+            finally:
+                if prev is None:
+                    _os.environ.pop("RDVC_DEVICE_HYPER", None)
+                else:
+                    _os.environ["RDVC_DEVICE_HYPER"] = prev
             return sizes
         from rdvc_tpu.entropy.factorized import build_cdf_tables
         from rdvc_tpu.entropy.rans import RansCodec, encode_with_tables

@@ -71,17 +71,23 @@ def _merge_state(template, stored, path=""):
                         "template; keeping template", path or "<root>")
             return template
         out = {}
+        # A missing MODULE subtree (shallow path) means untrained random
+        # weights silently enter the model — warn loudly; deep leaf-level
+        # gaps (e.g. new per-layer params) stay informational.
+        shallow = path.count("/") <= 1
+        say = log.warning if shallow else log.info
         for k, v in template.items():
             if k in stored:
                 out[k] = _merge_state(v, stored[k], f"{path}/{k}")
             else:
-                log.info("checkpoint: %s/%s absent in file; keeping init",
-                         path, k)
+                say("checkpoint: %s/%s absent in file; keeping init "
+                    "(random weights!)" if shallow else
+                    "checkpoint: %s/%s absent in file; keeping init",
+                    path, k)
                 out[k] = v
         for k in stored:
             if k not in template:
-                log.info("checkpoint: dropping unexpected key %s/%s",
-                         path, k)
+                say("checkpoint: dropping unexpected key %s/%s", path, k)
         return out
     # Leaf: cast to the template's dtype (storage may be reduced
     # precision). NOTE: read .dtype directly — np.asarray on a template

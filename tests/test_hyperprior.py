@@ -487,7 +487,41 @@ def test_hyper_pipeline_fused_device_roundtrip(tmp_path, monkeypatch):
     enc = encode_video(config, runtime=enc_rt)
     assert enc["frames"] == 6
     assert enc["metadata"]["entropy_model"] == "hyperprior"
+    # Debug dumps force the serial decode path and must handle the
+    # hyperprior's float latents (no median re-add, no factorized tables).
+    config.debug_dump_enabled = True
+    config.debug_frames_dir_decode = str(tmp_path / "dbg")
+    config.debug_frame_interval_decode = 1
     dec = decode_video(config, collect_frames=True)
     assert dec["frames"] == 6
     for f in dec["decoded_frames"]:
         assert f.dtype == np.uint8 and f.shape == frames[0].shape
+    import glob
+
+    dumped = glob.glob(str(tmp_path / "dbg" / "*.png"))
+    assert len(dumped) >= 9  # all 9 stages for at least one P-frame
+
+
+def test_runtime_refuses_mismatched_checkpoint_variant(tmp_path):
+    """The tolerant merge-loader would silently give a wrong --hyperprior
+    flag random entropy params; the runtime must refuse instead (the
+    trainer records model_config in checkpoint metadata)."""
+    from rdvc_tpu.models.codec import VideoCodec, init_codec_variables
+    from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
+    from rdvc_tpu.utils.checkpoint import save_checkpoint
+
+    base = {
+        k: v for k, v in TINY.items()
+        if k not in ("hyperprior", "hyper_channels")
+    }
+    mH = VideoCodec(cfg=ModelConfig(**TINY))
+    vH = init_codec_variables(mH, jax.random.PRNGKey(0), spatial=(32, 32))
+    path = str(tmp_path / "h.ckpt")
+    save_checkpoint(path, vH, {"model_config": {"hyperprior": True}})
+    with pytest.raises(ValueError, match="hyperprior"):
+        CodecRuntime(
+            model_cfg=ModelConfig(**base), checkpoint_path=path
+        )
+    # Matching flag loads fine.
+    rt = CodecRuntime(model_cfg=ModelConfig(**TINY), checkpoint_path=path)
+    assert rt.cfg.hyperprior
