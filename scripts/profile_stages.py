@@ -438,6 +438,101 @@ if os.environ.get("PROF_INT8", "1") != "0":
     except Exception as e:  # never lose the report to the A/B section
         log("int8_ab_error", repr(e))
 
+# ---------------- hyperprior path (PROF_HYPER, default on) ----------------
+# Device times of the fused hyper encode stages + batched hyper decode at
+# the production architecture (random init — timing, not RD). Attribution
+# for the 0x04/0x05 transport: stage A (chain+z), per-frame bins graphs,
+# stage C (quantize + 4 entropy encodes), batched group decode.
+if os.environ.get("PROF_HYPER", "1") != "0":
+    try:
+        import dataclasses as _dc
+
+        hp_cfg = _dc.replace(
+            CodecConfig().model_config(), hyperprior=True
+        )
+        rth = CodecRuntime(model_cfg=hp_cfg)
+        rth.attach_raft(runner.model, runner.variables)
+
+        zm_t, zr_t = rth.motion_hyper_tables, rth.residual_hyper_tables
+        stage_a = rth._fused_encode_chain_hyper_fn
+        a_args = (
+            rth.variables, runner.variables,
+            jnp.asarray(zm_t.medians), jnp.asarray(zr_t.medians),
+            chain_dev, RAFT_HW, COMP_HW, COMP_HW, True,
+        )
+        m_lat, r_lat, zs_m, zs_r = stage_a(*a_args)
+        t = time_device(lambda: stage_a(*a_args), ITERS)
+        log("hyper_enc_stageA_chain_z", {"ms_per_frame": t / B * 1e3})
+
+        _, bins_m_fn, _, _ = rth._hyper_quant_fns["motion"]
+        _, bins_r_fn, _, _ = rth._hyper_quant_fns["residual"]
+        hw_m = (int(m_lat.shape[1]), int(m_lat.shape[2]))
+        hw_r = (int(r_lat.shape[1]), int(r_lat.shape[2]))
+        mu_m1, bins_m1 = bins_m_fn(
+            rth._flax_variables, zs_m[:1], jnp.asarray(zm_t.medians), hw_m
+        )
+        t = time_device(
+            lambda: bins_m_fn(
+                rth._flax_variables, zs_m[:1],
+                jnp.asarray(zm_t.medians), hw_m,
+            ),
+            ITERS,
+        )
+        log("hyper_enc_bins_motion_1f", {"ms_per_frame": t * 1e3})
+        mu_r1, bins_r1 = bins_r_fn(
+            rth._flax_variables, zs_r[:1], jnp.asarray(zr_t.medians), hw_r
+        )
+        t = time_device(
+            lambda: bins_r_fn(
+                rth._flax_variables, zs_r[:1],
+                jnp.asarray(zr_t.medians), hw_r,
+            ),
+            ITERS,
+        )
+        log("hyper_enc_bins_residual_1f", {"ms_per_frame": t * 1e3})
+
+        mu_m = jnp.concatenate([mu_m1] * B, 0)
+        bins_m = jnp.concatenate([bins_m1] * B, 0)
+        mu_r = jnp.concatenate([mu_r1] * B, 0)
+        bins_r = jnp.concatenate([bins_r1] * B, 0)
+        zm_enc, _ = rth._hyper_device_coders["motion"]
+        zr_enc, _ = rth._hyper_device_coders["residual"]
+        code_fn = rth._fused_hyper_code_fn
+        c_args = (
+            m_lat, mu_m, bins_m, zs_m, r_lat, mu_r, bins_r, zs_r,
+            zm_enc.encode_consts, zr_enc.encode_consts,
+        )
+        code_fn(*c_args)
+        t = time_device(lambda: code_fn(*c_args), ITERS)
+        log("hyper_enc_stageC_coding", {"ms_per_frame": t / B * 1e3})
+
+        # End-to-end batched decode of real payloads (includes kernel +
+        # bins; measured as one unit the way the prefetcher runs it).
+        handles = rth.encode_pframes_chain_hyper(
+            chain_i420, RAFT_HW, COMP_HW, COMP_HW, i420=True
+        )
+        results = rth.assemble_frames_hyper(handles, B)
+        m_payloads = [r[0] for r in results]
+        if all(p[13] == 0x03 for p in m_payloads):
+            rth.decode_hyper_payloads_device(
+                m_payloads, "motion", results[0][1]
+            )
+            t = time_device(
+                lambda: rth.decode_hyper_payloads_device(
+                    m_payloads, "motion", results[0][1]
+                ),
+                ITERS,
+            )
+            log("hyper_dec_motion_group", {"ms_per_frame": t / B * 1e3})
+        else:
+            log("hyper_dec_motion_group", {"skipped": "host transport"})
+        bpp = sum(len(r[0]) + len(r[2]) for r in results) * 8 / (
+            B * H * W
+        )
+        log("hyper_bpp_random_init", round(bpp, 4))
+    except Exception as e:
+        log("hyper_profile_error", repr(e))
+
 with open(OUT_PATH, "w") as f:
     json.dump(report, f, indent=2)
 print("wrote", OUT_PATH)
