@@ -145,15 +145,75 @@ def evaluate(trainer, state, hyper: bool):
     }
 
 
+def pipeline_eval(trainer, state, hyper: bool):
+    """Full encode -> .rdvc -> decode on a held-out clip: container bpp
+    (I-frames included) + decoded PSNR — the end-to-end counterpart of
+    the latent-level measurement above. Both variants ride the same
+    Farneback flow so the comparison isolates the entropy model."""
+    import tempfile
+
+    from rdvc_tpu.config import CodecConfig
+    from rdvc_tpu.eval.clips import coherent_clip
+    from rdvc_tpu.io.yuv import write_yuv420p_frames
+    from rdvc_tpu.pipeline.decode import decode_video
+    from rdvc_tpu.pipeline.encode import encode_video
+
+    h, w, n = 128, 192, 16
+    frames = coherent_clip(n, h, w, seed=77)
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "m.ckpt")
+        trainer.save(state, ckpt)
+        yuv = os.path.join(td, "in.yuv")
+        write_yuv420p_frames(yuv, frames)
+        cfg = CodecConfig()
+        cfg.codec_checkpoint_path = ckpt
+        cfg.input_file_path = yuv
+        cfg.output_rdvc_file = os.path.join(td, "out.rdvc")
+        cfg.input_rdvc_file = cfg.output_rdvc_file
+        cfg.input_yuv_width, cfg.input_yuv_height = w, h
+        cfg.flow_compress_height = h
+        cfg.residual_compress_height = h
+        cfg.raft_backend = "farneback"
+        cfg.iframe_interval = 8
+        mc = trainer.model_cfg
+        cfg.motion_latent_channels = mc.motion_latent_channels
+        cfg.residual_latent_channels = mc.residual_latent_channels
+        cfg.encoder_base_channels = mc.encoder_base_channels
+        cfg.mcn_base_channels = mc.mcn_base_channels
+        cfg.hyperprior = hyper
+        cfg.hyper_channels = mc.hyper_channels
+        enc = encode_video(cfg)
+        dec = decode_video(cfg, collect_frames=True)
+        nbytes = os.path.getsize(cfg.output_rdvc_file)
+        psnrs = []
+        for src, rec in zip(frames, dec["decoded_frames"]):
+            mse = np.mean(
+                (src.astype(np.float64) - rec.astype(np.float64)) ** 2
+            )
+            psnrs.append(10 * np.log10(255.0**2 / max(mse, 1e-9)))
+        return {
+            "e2e_bpp": round(nbytes * 8 / (n * h * w), 4),
+            "e2e_psnr": round(float(np.mean(psnrs)), 3),
+            "e2e_frames": n,
+            "e2e_file_bytes": nbytes,
+        }
+
+
 report = {
     "steps": STEPS, "crop": CROP, "batch": BATCH, "lambda_bpp": LAM,
     "arch": ("full" if FULL else ARCH),
     "device": str(jax.devices()[0]),
 }
+E2E = os.environ.get("AB_E2E", "1") != "0"
 for name, hyper in (("factorized", False), ("hyperprior", True)):
     trainer, state, train_stats = train_variant(hyper)
     ev = evaluate(trainer, state, hyper)
     report[name] = {**train_stats, **ev}
+    if E2E:
+        try:
+            report[name].update(pipeline_eval(trainer, state, hyper))
+        except Exception as e:  # keep the latent-level numbers regardless
+            report[name]["e2e_error"] = repr(e)
     print(name, json.dumps(report[name]), flush=True)
     with open(OUT, "w") as f:
         json.dump(report, f, indent=2)
