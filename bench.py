@@ -92,6 +92,13 @@ def main():
         # Match the GOP batch to the actual GOP count: padded batch rows
         # burn device time and downloads for nothing.
         config.decode_gop_batch = max(1, n_frames // config.iframe_interval)
+        # Flush-size A/B knob: each encode flush costs ~3 relay round
+        # trips (meta + 2 word-prefix downloads), and relay latency —
+        # not host compute — dominates enc_assemble time; fewer, larger
+        # flushes trade padding waste for round trips.
+        config.encode_batch_size = int(
+            os.environ.get("BENCH_ENCODE_BATCH", config.encode_batch_size)
+        )
         config.raft_backend = "raft"
         config.codec_checkpoint_path = os.path.join(td, "none")
 

@@ -63,7 +63,7 @@ class RAFT(nn.Module):
         Returns the final upsampled flow (B, H, W, 2); with return_all=True,
         also the per-iteration upsampled flows (iters, B, H, W, 2).
         """
-        B, H, W, _ = image1.shape
+        H, W = image1.shape[1:3]
         if H % 8 or W % 8:
             raise ValueError(f"RAFT input dims must be /8, got {H}x{W}")
         # RAFT normalizes images to [-1, 1].
@@ -72,11 +72,37 @@ class RAFT(nn.Module):
 
         fmap1 = self.fnet(x1, train=train)
         fmap2 = self.fnet(x2, train=train)
+        cfeat = self.cnet(x1, train=train)
+        return self._flow_from_features(
+            fmap1, fmap2, cfeat, (H, W), return_all=return_all
+        )
+
+    def flow_chain(self, chain: jax.Array, *, train: bool = False):
+        """Flow for the consecutive pairs of a frame chain.
+
+        chain: (B+1, H, W, 3) in [0, 1] -> flow (B, H, W, 2) for pairs
+        (i, i+1). The feature encoder runs ONCE per frame; the pairwise
+        form (__call__ on chain[:-1], chain[1:]) runs it twice on every
+        interior frame. Exact per-sample: fnet is instance-norm and cnet
+        uses eval-mode BatchNorm running stats, so batch membership does
+        not change any frame's features. Inference-only (train-mode BN
+        would couple batch statistics)."""
+        H, W = chain.shape[1:3]
+        if H % 8 or W % 8:
+            raise ValueError(f"RAFT input dims must be /8, got {H}x{W}")
+        x = chain.astype(jnp.float32) * 2.0 - 1.0
+        fmaps = self.fnet(x, train=train)
+        cfeat = self.cnet(x[:-1], train=train)
+        return self._flow_from_features(fmaps[:-1], fmaps[1:], cfeat, (H, W))
+
+    def _flow_from_features(
+        self, fmap1, fmap2, cfeat, hw, *, return_all: bool = False
+    ):
+        H, W = hw
+        B = fmap1.shape[0]
         pyramid = build_corr_pyramid(
             fmap1, fmap2, self.num_levels, use_pallas=self.use_pallas_corr
         )
-
-        cfeat = self.cnet(x1, train=train)
         hidden = jnp.tanh(cfeat[..., : self.hidden_dim])
         context = nn.relu(cfeat[..., self.hidden_dim :])
 

@@ -243,6 +243,53 @@ class CodecRuntime:
         )
         return m_lat, r_lat
 
+    def _encode_latents_body_chain(
+        self, variables, raft_variables, chain,
+        raft_hw, comp_hw_flow, comp_hw_res,
+    ):
+        """Chain-aware variant of _encode_latents_body: (B+1, H, W, 3)
+        consecutive frames in, per-pair latents out. RAFT's feature
+        encoder and the raft-resolution resize run ONCE per frame instead
+        of twice per interior frame (exact: both are per-sample at
+        inference — see RAFT.flow_chain). ~25% of the chain encode's
+        device time was duplicated fnet work (profile_stages:
+        raft_encoders 25.4 ms/frame of encode_chain's 66.6)."""
+        frames = chain.astype(jnp.float32) / 255.0
+        H, W = frames.shape[1:3]
+        small = resize_bilinear(frames, raft_hw)
+        if hasattr(type(self._raft_model), "flow_chain"):
+            flow_small = self._raft_model.apply(
+                raft_variables, small, train=False, method="flow_chain"
+            )
+        else:  # non-chain-aware flow model: pairwise form
+            flow_small = self._raft_model.apply(
+                raft_variables, small[:-1], small[1:], train=False
+            )
+        prev, cur = frames[:-1], frames[1:]
+        flow_orig = resize_flow(flow_small, (H, W))
+        warped = bilinear_warp(prev, flow_orig)
+        pred = self._mc(variables, warped, flow_orig, prev)
+        residual = cur - pred
+        residual_c = resize_bilinear(residual, comp_hw_res, antialias=True)
+        flow_c = resize_flow(flow_orig, comp_hw_flow)
+        m_lat = self._apply(
+            variables, flow_c, method=VideoCodec.analyze_motion
+        )
+        r_lat = self._apply(
+            variables, residual_c, method=VideoCodec.analyze_residual
+        )
+        return m_lat, r_lat
+
+    def _quantize_symbols(self, m_lat, r_lat):
+        """Quantize latents to int16 symbols on device: halves the
+        device->host transfer (the dominant encode cost over a slow link)
+        and moves the rounding onto the VPU."""
+        m_med = jnp.asarray(self.motion_tables.medians)
+        r_med = jnp.asarray(self.residual_tables.medians)
+        m_sym = jnp.round(m_lat - m_med).astype(jnp.int16)
+        r_sym = jnp.round(r_lat - r_med).astype(jnp.int16)
+        return m_sym, r_sym
+
     def _encode_body(
         self, variables, raft_variables, prev_u8, cur_u8,
         raft_hw, comp_hw_flow, comp_hw_res,
@@ -253,14 +300,18 @@ class CodecRuntime:
             variables, raft_variables, prev_u8, cur_u8,
             raft_hw, comp_hw_flow, comp_hw_res,
         )
-        # Quantize to int16 symbols on device: halves the device->host
-        # transfer (the dominant encode cost over a slow link) and moves
-        # the rounding onto the VPU.
-        m_med = jnp.asarray(self.motion_tables.medians)
-        r_med = jnp.asarray(self.residual_tables.medians)
-        m_sym = jnp.round(m_lat - m_med).astype(jnp.int16)
-        r_sym = jnp.round(r_lat - r_med).astype(jnp.int16)
-        return m_sym, r_sym
+        return self._quantize_symbols(m_lat, r_lat)
+
+    def _encode_body_chain(
+        self, variables, raft_variables, chain,
+        raft_hw, comp_hw_flow, comp_hw_res,
+    ):
+        """Chain form of _encode_body (fnet deduped across the chain)."""
+        m_lat, r_lat = self._encode_latents_body_chain(
+            variables, raft_variables, chain,
+            raft_hw, comp_hw_flow, comp_hw_res,
+        )
+        return self._quantize_symbols(m_lat, r_lat)
 
     def encode_pframe_fused(
         self,
@@ -350,8 +401,8 @@ class CodecRuntime:
             # (B+1, H*3/2, W) raw I420 chain: half the upload bytes of RGB;
             # color conversion happens on device.
             rgb = self._i420_to_rgb_traced(chain_i420)
-            return self._encode_body(
-                variables, raft_variables, rgb[:-1], rgb[1:],
+            return self._encode_body_chain(
+                variables, raft_variables, rgb,
                 raft_hw, comp_hw_flow, comp_hw_res,
             )
 
@@ -385,9 +436,10 @@ class CodecRuntime:
         ):
             # (B+1, H, W, 3) frame chain -> (prev, cur) pairs by slicing on
             # device: consecutive P-frames share their boundary frame, so
-            # the host uploads each frame ONCE instead of twice.
-            return self._encode_body(
-                variables, raft_variables, chain_u8[:-1], chain_u8[1:],
+            # the host uploads each frame ONCE instead of twice (and the
+            # chain body runs fnet once per frame instead of twice).
+            return self._encode_body_chain(
+                variables, raft_variables, chain_u8,
                 raft_hw, comp_hw_flow, comp_hw_res,
             )
 
@@ -433,8 +485,8 @@ class CodecRuntime:
             # CDF rows travel as arguments, never as baked-in constants.
             menc, renc = self._device_encoders
             rgb = self._i420_to_rgb_traced(chain) if i420 else chain
-            m_sym, r_sym = self._encode_body(
-                variables, raft_variables, rgb[:-1], rgb[1:],
+            m_sym, r_sym = self._encode_body_chain(
+                variables, raft_variables, rgb,
                 raft_hw, comp_hw_flow, comp_hw_res,
             )
             m_flat, m_meta, _ = menc.encode_traced(m_sym, m_consts)
@@ -534,8 +586,8 @@ class CodecRuntime:
             raft_hw, comp_hw_flow, comp_hw_res, i420,
         ):
             rgb = self._i420_to_rgb_traced(chain) if i420 else chain
-            m_lat, r_lat = self._encode_latents_body(
-                variables, raft_variables, rgb[:-1], rgb[1:],
+            m_lat, r_lat = self._encode_latents_body_chain(
+                variables, raft_variables, rgb,
                 raft_hw, comp_hw_flow, comp_hw_res,
             )
             z_m = self.model.apply(

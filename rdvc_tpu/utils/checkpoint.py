@@ -131,6 +131,20 @@ def load_checkpoint(path: str, template: Dict[str, Any]):
     return variables, metadata
 
 
+def peek_metadata(path: str) -> Dict[str, Any]:
+    """Read ONLY a checkpoint's metadata dict (no param payload parse).
+
+    Lets eval drivers self-configure the model variant (e.g.
+    metadata["model_config"]["hyperprior"]) before building a runtime —
+    the runtime's variant guard otherwise refuses a mismatched flag."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != _MAGIC:
+            raise ValueError(f"not an rdvc checkpoint: {path}")
+        meta_len = int.from_bytes(f.read(8), "big")
+        return json.loads(f.read(meta_len).decode("utf-8"))
+
+
 def tree_size_bytes(tree) -> int:
     import jax
 

@@ -90,6 +90,17 @@ with tempfile.TemporaryDirectory() as td:
         base.codec_checkpoint_path = ckpt
         base.raft_backend = flow_backend
         base.raft_checkpoint_path = RAFT_CKPT if flow_backend == "raft" else None
+        # Self-configure the entropy-model variant from the checkpoint
+        # metadata so one sweep can mix factorized (rate_l*) and
+        # hyperprior (rate_hp_l*) rate points.
+        if os.path.exists(ckpt):
+            from rdvc_tpu.utils.checkpoint import peek_metadata
+
+            mc = (peek_metadata(ckpt) or {}).get("model_config") or {}
+            if "hyperprior" in mc:
+                base.hyperprior = bool(mc["hyperprior"])
+            if mc.get("hyper_channels"):
+                base.hyper_channels = int(mc["hyper_channels"])
         runtime = CodecRuntime(
             model_cfg=base.model_config(),
             checkpoint_path=ckpt if os.path.exists(ckpt) else None,

@@ -75,10 +75,14 @@ f1, f2, flow = (
 )
 
 for phase in PHASES:
-    tx, mode = trainer._optimizer(phase, state.params)
-    opt_state = tx.init(state.params)
+    # Fresh device-side copies per phase: the jitted step DONATES
+    # params/opt_state buffers, so reusing state.params across phases
+    # passes deleted arrays (observed RuntimeError on the 2nd phase).
+    params = jax.tree_util.tree_map(jnp.copy, state.params)
+    batch_stats = jax.tree_util.tree_map(jnp.copy, state.batch_stats)
+    tx, mode = trainer._optimizer(phase, params)
+    opt_state = tx.init(params)
     jitted = trainer._jitted(phase, tx)
-    params, batch_stats = state.params, state.batch_stats
 
     # Warmup: compile + one executed step (donated buffers mean we must
     # thread params/opt_state through every call).

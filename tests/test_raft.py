@@ -96,6 +96,23 @@ def test_raft_forward_shape(raft_small):
     assert np.all(np.isfinite(np.asarray(flow)))
 
 
+def test_flow_chain_matches_pairwise(raft_small):
+    """flow_chain (fnet once per frame) must agree with the pairwise form
+    (fnet twice per interior frame): fnet is instance-norm and cnet uses
+    eval-mode BN stats, so batch membership cannot change any frame's
+    features. The chain-batched encode paths rely on this."""
+    model, variables = raft_small
+    rng = np.random.RandomState(7)
+    chain = jnp.asarray(rng.rand(4, 32, 48, 3), jnp.float32)
+    pair = model.apply(variables, chain[:-1], chain[1:], train=False)
+    chained = model.apply(variables, chain, train=False,
+                          method="flow_chain")
+    assert chained.shape == pair.shape == (3, 32, 48, 2)
+    np.testing.assert_allclose(
+        np.asarray(chained), np.asarray(pair), atol=5e-3, rtol=1e-3
+    )
+
+
 def test_raft_rejects_non_multiple_of_8(raft_small):
     model, variables = raft_small
     a = jnp.zeros((1, 60, 64, 3))

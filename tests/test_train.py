@@ -190,6 +190,14 @@ def test_checkpoint_save_restore(tmp_path, trainer):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # peek_metadata reads the variant header without parsing params —
+    # eval drivers use it to self-configure (make_rd_report.py).
+    from rdvc_tpu.utils.checkpoint import peek_metadata
+
+    meta = peek_metadata(path)
+    mc = meta["model_config"]
+    assert mc["hyperprior"] == trainer.model_cfg.hyperprior
+    assert "epoch" in meta
 
 
 @pytest.mark.slow
