@@ -115,23 +115,35 @@ def wall_accounting(
     """Transfer-vs-compute table that adds up (approximately) to the wall
     clock. Uploads/downloads are I420 (1.5 B/px); 'other_s' is whatever the
     isolated pieces don't explain (host JPEG/rANS/container IO, dispatch
-    overhead, non-overlap)."""
+    overhead, non-overlap). Transfers overlap device compute (the decode
+    prefetcher downloads chunk k while chunk k+1 runs), so the serialized
+    estimate can exceed wall; 'overlap_s' carries the excess instead of a
+    misleading negative 'other_s'."""
     frame_mb = height * width * 1.5 / 1e6
     up_s = n_frames * frame_mb / max(profile["uplink_mb_per_s"], 1e-6)
     down_s = n_frames * frame_mb / max(profile["downlink_mb_per_s"], 1e-6)
     enc_dev = n_frames * profile["encode_device_ms_per_frame"] / 1e3
     dec_dev = n_frames * profile["decode_device_ms_per_frame"] / 1e3
+
+    def _split(wall, *parts):
+        other = wall - sum(parts)
+        return (round(max(other, 0.0), 2), round(max(-other, 0.0), 2))
+
+    enc_other, enc_overlap = _split(enc_wall_s, enc_dev, up_s)
+    dec_other, dec_overlap = _split(dec_wall_s, dec_dev, down_s)
     return {
         "encode": {
             "wall_s": round(enc_wall_s, 2),
             "device_compute_s": round(enc_dev, 2),
             "upload_s": round(up_s, 2),
-            "other_s": round(enc_wall_s - enc_dev - up_s, 2),
+            "other_s": enc_other,
+            "overlap_s": enc_overlap,
         },
         "decode": {
             "wall_s": round(dec_wall_s, 2),
             "device_compute_s": round(dec_dev, 2),
             "download_s": round(down_s, 2),
-            "other_s": round(dec_wall_s - dec_dev - down_s, 2),
+            "other_s": dec_other,
+            "overlap_s": dec_overlap,
         },
     }

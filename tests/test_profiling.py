@@ -44,3 +44,30 @@ def test_transfer_timers():
     assert up["mb_per_s"] > 0
     d = time_transfer_down(jax.device_put(x), iters=1)
     assert d["mb_per_s"] > 0
+
+
+def test_wall_accounting_never_negative():
+    """Transfers overlap compute, so the serialized estimate can exceed
+    wall; the excess must land in overlap_s, never a negative other_s."""
+    from rdvc_tpu.eval.device_profile import wall_accounting
+
+    profile = {
+        "uplink_mb_per_s": 35.0,
+        "downlink_mb_per_s": 11.3,
+        "encode_device_ms_per_frame": 70.0,
+        "decode_device_ms_per_frame": 70.0,
+    }
+    # decode wall (16.75 s) < device + download -> overlap case
+    acc = wall_accounting(profile, 64, 21.05, 16.75, 1080, 1920)
+    for side in ("encode", "decode"):
+        a = acc[side]
+        assert a["other_s"] >= 0.0 and a["overlap_s"] >= 0.0
+        # exactly one of other/overlap is nonzero, and the table adds up
+        parts = a["device_compute_s"] + (
+            a.get("upload_s", 0.0) + a.get("download_s", 0.0)
+        )
+        np.testing.assert_allclose(
+            a["wall_s"], parts + a["other_s"] - a["overlap_s"], atol=0.05
+        )
+    assert acc["decode"]["overlap_s"] > 0.0
+    assert acc["encode"]["other_s"] > 0.0
