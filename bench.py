@@ -10,9 +10,18 @@ encode+decode per frame. vs_baseline is ours / 0.397.
 Method: synthetic 1080p video, real model compute (JAX RAFT at 368x640 with
 config.raft_iters GRU iterations — default 4, measured RD-neutral vs the
 reference-parity 12 in benchmarks/raft_iters_study.json — + full codec
-transforms at 1080p + host rANS + container IO),
-iframe_interval 32 (the jockey.txt long-run setting). Warmup pass first so
-steady-state throughput is measured, not XLA compile.
+transforms + host rANS + container IO), iframe_interval 32 (the jockey.txt
+long-run setting). Warmup pass first so steady-state throughput is
+measured, not XLA compile.
+
+Detail rows (VERDICT r3 items 1/5/8):
+  - psnr_avg_db / psnr_gop_tail_db: decoded quality of the SAME run the
+    fps number comes from (fps without quality is not a parity claim).
+  - comp_height_ladder: the reference's own RD knob
+    (codec_processing.py:636-637; its best RD points run 360-720p comp
+    heights) measured here as fps+bpp+PSNR rows. BENCH_LADDER=0 skips.
+  - hyperprior: same row for the flagship entropy model when a
+    checkpoints/bench_hyper.ckpt exists. BENCH_HYPER=0 skips.
 """
 
 from __future__ import annotations
@@ -36,31 +45,95 @@ def synth_frames(n, h, w, seed=0, step=(3, 2)):
     return coherent_clip(n, h, w, seed=seed, step=step)
 
 
+def psnr_of_yuv(orig_path, recon_path, w, h, iframe_interval):
+    """Per-frame PSNR of the decoded YUV vs the input (uint8 I420 domain,
+    matching the reference's test_uvg metric pass). Returns the average and
+    the GOP-tail average (last 4 positions of each GOP) — the honesty
+    metric for P-frame drift."""
+    from rdvc_tpu.io.yuv import read_yuv420p_frames
+
+    vals = []
+    for a, b in zip(
+        read_yuv420p_frames(orig_path, w, h),
+        read_yuv420p_frames(recon_path, w, h),
+    ):
+        mse = np.mean(
+            (a.astype(np.float64) - b.astype(np.float64)) ** 2
+        )
+        vals.append(10 * np.log10(255.0**2 / max(mse, 1e-9)))
+    vals = np.asarray(vals)
+    pos = np.arange(len(vals)) % iframe_interval
+    tail = vals[pos >= iframe_interval - 4]
+    return {
+        "psnr_avg_db": round(float(vals.mean()), 3),
+        "psnr_gop_tail_db": round(float(tail.mean()), 3) if len(tail) else None,
+    }
+
+
+def run_point(config, runtime, n_frames, h, w, td, tag):
+    """One measured encode+decode round trip: warmup (compile coverage of a
+    full GOP + next I-frame), timed encode, timed decode, quality pass.
+    Returns fps/bpp/PSNR for this configuration."""
+    from rdvc_tpu.config import CodecConfig
+    from rdvc_tpu.pipeline.decode import decode_video
+    from rdvc_tpu.pipeline.encode import encode_video
+
+    config.output_rdvc_file = os.path.join(td, f"{tag}.rdvc")
+    config.input_rdvc_file = config.output_rdvc_file
+    config.output_video_path_decode = os.path.join(td, f"{tag}.yuv")
+    config.decode_gop_batch = max(1, n_frames // config.iframe_interval)
+
+    warm = CodecConfig(**{**config.__dict__})
+    warm.output_rdvc_file = os.path.join(td, f"warm_{tag}.rdvc")
+    warm.input_rdvc_file = warm.output_rdvc_file
+    warm.output_video_path_decode = os.path.join(td, f"warm_{tag}.yuv")
+    encode_video(warm, runtime=runtime, max_frames=config.iframe_interval + 1)
+    decode_video(warm, runtime=runtime)
+
+    t0 = time.perf_counter()
+    enc = encode_video(config, runtime=runtime, max_frames=n_frames)
+    t1 = time.perf_counter()
+    dec = decode_video(config, runtime=runtime)
+    t2 = time.perf_counter()
+    assert enc["frames"] == n_frames and dec["frames"] == n_frames
+
+    quality = psnr_of_yuv(
+        config.input_file_path, config.output_video_path_decode,
+        w, h, config.iframe_interval,
+    )
+    return {
+        "combined_fps": round(n_frames / (t2 - t0), 4),
+        "encode_fps": round(n_frames / (t1 - t0), 4),
+        "decode_fps": round(n_frames / (t2 - t1), 4),
+        "frames": n_frames,
+        "bpp": round(enc["file_bytes"] * 8 / (n_frames * h * w), 4),
+        **quality,
+        "timings": (enc["timings"], dec["timings"]),
+    }
+
+
 def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "64"))
     h, w = 1080, 1920
 
     # Absorb the axon relay's first device->host readback handshake
-    # (60-300 s, once per process) before anything is timed.
+    # (60-600 s, once per process) before anything is timed.
     import jax
 
     try:
         np.asarray(jax.device_put(np.zeros(8, np.uint8)))
     except RuntimeError as e:
         if "UNAVAILABLE" in str(e) or "initialize backend" in str(e):
-            # TPU relay down (outage since 2026-08-17 ~23:00): emit one
-            # honest machine-readable line instead of a traceback. The
-            # last good measurement is banked in
-            # benchmarks/bench_r03_degraded_relay.json + PERF_r03.md.
+            # TPU relay down: emit one honest machine-readable line
+            # instead of a traceback.
             print(json.dumps({
                 "metric": "uvg1080p_encode_decode_fps_per_chip",
                 "value": 0.0,
                 "unit": "fps",
                 "vs_baseline": 0.0,
                 "error": "TPU backend unavailable (axon relay outage); "
-                         "see PERF_r03.md + benchmarks/"
-                         "bench_r03_degraded_relay.json for the last "
-                         "real-chip measurement",
+                         "see benchmarks/ for the last real-chip "
+                         "measurement",
             }))
             return 0
         raise
@@ -70,10 +143,13 @@ def main():
     enable_persistent_cache()
 
     from rdvc_tpu.config import CodecConfig
+    from rdvc_tpu.eval.calibration import calibrate_on_clip
     from rdvc_tpu.io.yuv import write_yuv420p_frames
+    from rdvc_tpu.models.raft import RaftRunner
     from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
-    from rdvc_tpu.pipeline.decode import decode_video
-    from rdvc_tpu.pipeline.encode import encode_video
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ckpt_dir = os.path.join(repo, "checkpoints")
 
     with tempfile.TemporaryDirectory() as td:
         yuv = os.path.join(td, "in.yuv")
@@ -81,33 +157,23 @@ def main():
 
         config = CodecConfig()
         config.input_file_path = yuv
-        config.output_rdvc_file = os.path.join(td, "out.rdvc")
-        config.input_rdvc_file = config.output_rdvc_file
-        config.output_video_path_decode = os.path.join(td, "recon.yuv")
         config.input_yuv_width = w
         config.input_yuv_height = h
         config.iframe_interval = 32
         config.flow_compress_height = 1080
         config.residual_compress_height = 1080
-        # Match the GOP batch to the actual GOP count: padded batch rows
-        # burn device time and downloads for nothing.
-        config.decode_gop_batch = max(1, n_frames // config.iframe_interval)
         # Flush-size A/B knob: each encode flush costs ~3 relay round
-        # trips (meta + 2 word-prefix downloads), and relay latency —
-        # not host compute — dominates enc_assemble time; fewer, larger
-        # flushes trade padding waste for round trips.
+        # trips (meta + 2 word-prefix downloads); fewer, larger flushes
+        # trade padding waste for round trips.
         config.encode_batch_size = int(
             os.environ.get("BENCH_ENCODE_BATCH", config.encode_batch_size)
         )
         config.raft_backend = "raft"
         config.codec_checkpoint_path = os.path.join(td, "none")
 
-        # Use the committed synthetic-data demo checkpoint when present:
-        # trained transforms emit low-entropy latents, putting the bitstream
-        # stages in the regime the reference's speed numbers were taken in.
-        ckpt_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "checkpoints"
-        )
+        # The committed synthetic-data demo checkpoint: trained transforms
+        # emit low-entropy latents, putting the bitstream stages in the
+        # regime the reference's speed numbers were taken in.
         demo_ckpt = os.path.join(ckpt_dir, "demo_synthetic.ckpt")
         raft_ckpt = os.path.join(ckpt_dir, "demo_raft.ckpt")
         if os.path.exists(raft_ckpt):
@@ -117,48 +183,23 @@ def main():
             checkpoint_path=demo_ckpt if os.path.exists(demo_ckpt) else None,
         )
 
-        # Calibrate the entropy bottlenecks to the actual latent statistics
-        # (EB-only fit; transforms untouched). Without this, random-init
-        # latents are maximally surprising to the coder (~26 bpp) and the
-        # bitstream stages measure a pathological workload instead of the
-        # ~1 bpp regime the reference's speed numbers were taken in.
-        from rdvc_tpu.eval.calibration import calibrate_on_clip
-        from rdvc_tpu.models.raft import RaftRunner
-
         runner = RaftRunner(
             iters=config.raft_iters,
             checkpoint_path=config.raft_checkpoint_path,
         )
         runtime.attach_raft(runner.model, runner.variables)
+        # EB-only calibration to the clip's latent statistics (escape-free
+        # device-coding regime; see eval/calibration.py docstring).
         calibrate_on_clip(
             runtime, runner.variables, synth_frames(3, h, w, seed=7), config
         )
 
-        # Warmup: compile all shapes the timed run will use. Must span a
-        # FULL GOP plus the next I-frame — a short warmup never traces the
-        # full-size P-frame batch or the scan-decode with T=interval-1
-        # steps, and a cold persistent cache then pays ~40 s/shape 1080p
-        # compiles inside the timed section (observed: 0.41 fps vs 3+ fps
-        # purely from warmup coverage).
-        warm = CodecConfig(**{**config.__dict__})
-        warm.output_rdvc_file = os.path.join(td, "warm.rdvc")
-        warm.input_rdvc_file = warm.output_rdvc_file
-        warm.output_video_path_decode = os.path.join(td, "warm.yuv")
-        encode_video(
-            warm, runtime=runtime, max_frames=config.iframe_interval + 1
-        )
-        decode_video(warm, runtime=runtime)
-
-        # Optional jax.profiler capture of the timed section (SURVEY §5):
+        # Optional jax.profiler capture of the headline run (SURVEY §5):
         # RDVC_TRACE_DIR=/path python bench.py  -> TensorBoard trace.
         trace_dir = os.environ.get("RDVC_TRACE_DIR")
         if trace_dir:
             jax.profiler.start_trace(trace_dir)
-        t0 = time.perf_counter()
-        enc = encode_video(config, runtime=runtime, max_frames=n_frames)
-        t1 = time.perf_counter()
-        dec = decode_video(config, runtime=runtime)
-        t2 = time.perf_counter()
+        head = run_point(config, runtime, n_frames, h, w, td, "main")
         if trace_dir:
             jax.profiler.stop_trace()
 
@@ -174,11 +215,55 @@ def main():
             runtime, runner.variables, frames_prof,
             (config.raft_resize_height, config.raft_resize_width),
             (1080, 1920), h, w,
-            gop_rows=config.decode_gop_batch, batch=config.encode_batch_size,
+            gop_rows=max(1, n_frames // config.iframe_interval),
+            batch=config.encode_batch_size,
         )
         accounting = wall_accounting(
-            profile, n_frames, t1 - t0, t2 - t1, h, w
+            profile, n_frames,
+            n_frames / head["encode_fps"], n_frames / head["decode_fps"],
+            h, w,
         )
+
+        # ---- compression-height ladder (the reference's RD knob) ----
+        ladder = {}
+        if os.environ.get("BENCH_LADDER", "1") != "0":
+            n_lad = min(n_frames, 33)
+            for comp_h in (720, 480):
+                cfg_l = CodecConfig(**{**config.__dict__})
+                cfg_l.flow_compress_height = comp_h
+                cfg_l.residual_compress_height = comp_h
+                try:
+                    r = run_point(
+                        cfg_l, runtime, n_lad, h, w, td, f"lad{comp_h}"
+                    )
+                    r.pop("timings")
+                    ladder[str(comp_h)] = r
+                except Exception as e:  # never lose the headline to a row
+                    ladder[str(comp_h)] = {"error": repr(e)}
+
+        # ---- hyperprior flagship row (VERDICT r3 item 1) ----
+        hyper = None
+        hp_ckpt = os.environ.get(
+            "BENCH_HYPER_CKPT", os.path.join(ckpt_dir, "bench_hyper.ckpt")
+        )
+        if os.environ.get("BENCH_HYPER", "1") != "0" and os.path.exists(
+            hp_ckpt
+        ):
+            try:
+                cfg_h = CodecConfig(**{**config.__dict__})
+                cfg_h.hyperprior = True
+                cfg_h.codec_checkpoint_path = hp_ckpt
+                rt_h = CodecRuntime(
+                    model_cfg=cfg_h.model_config(), checkpoint_path=hp_ckpt
+                )
+                rt_h.attach_raft(runner.model, runner.variables)
+                hyper = run_point(
+                    cfg_h, rt_h, min(n_frames, 33), h, w, td, "hyper"
+                )
+                hyper.pop("timings")
+                hyper["checkpoint"] = os.path.basename(hp_ckpt)
+            except Exception as e:
+                hyper = {"error": repr(e)}
 
     def _stage_ms(summary):
         return {
@@ -188,32 +273,28 @@ def main():
             )
         }
 
-    assert enc["frames"] == n_frames and dec["frames"] == n_frames
-    combined_fps = n_frames / (t2 - t0)
+    enc_t, dec_t = head.pop("timings")
+    combined_fps = head["combined_fps"]
     result = {
         "metric": "uvg1080p_encode_decode_fps_per_chip",
-        "value": round(combined_fps, 4),
+        "value": combined_fps,
         "unit": "fps",
         "vs_baseline": round(combined_fps / BASELINE_COMBINED_FPS, 3),
         "detail": {
-            "encode_fps": round(n_frames / (t1 - t0), 4),
-            "decode_fps": round(n_frames / (t2 - t1), 4),
-            "frames": n_frames,
+            **{k: v for k, v in head.items() if k != "combined_fps"},
             # Inference-graph configuration (self-describing A/B artifacts)
             "graph": {
                 "fold_bn": os.environ.get("RDVC_FOLD_BN", "1") != "0",
                 "fast_infer": os.environ.get("RDVC_FAST_INFER", "1") != "0",
-                "int8": os.environ.get("RDVC_INT8_INFER", "0") == "1",
                 "conv_impl": os.environ.get("RDVC_CONV_IMPL", "xla"),
                 "raft_iters": config.raft_iters,
             },
-            "bpp": round(
-                enc["file_bytes"] * 8 / (n_frames * h * w), 4
-            ),
-            "encode_stage_ms": _stage_ms(enc["timings"]),
-            "decode_stage_ms": _stage_ms(dec["timings"]),
+            "encode_stage_ms": _stage_ms(enc_t),
+            "decode_stage_ms": _stage_ms(dec_t),
             "device_profile": profile,
             "wall_accounting": accounting,
+            "comp_height_ladder": ladder,
+            "hyperprior": hyper,
         },
     }
     try:

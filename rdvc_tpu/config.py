@@ -197,6 +197,9 @@ class TrainConfig:
 
     grad_clip_norm: float = 1.0
     weight_decay: float = 1e-4  # AdamW
+    # Sequence-unrolled fine-tune (train/loop.py seq path): weight of the
+    # last-unrolled-step reconstruction MSE — the drift-damping term.
+    lambda_seq_recon: float = 1000.0
 
     # Precision / parallelism
     use_bf16: bool = True

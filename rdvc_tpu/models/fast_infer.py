@@ -149,15 +149,6 @@ def _tile4(b: np.ndarray) -> np.ndarray:
     return np.tile(np.asarray(b), 4)
 
 
-def _quantize_w(w: np.ndarray):
-    """Symmetric per-output-channel int8 weight quantization:
-    (kh, kw, ci, co) -> ((kh, kw, ci, co) int8, (co,) f32 scale)."""
-    s = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
-    s = np.maximum(s, 1e-12)
-    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
-    return jnp.asarray(q), jnp.asarray(s, jnp.float32)
-
-
 # ----------------------------------------------------------------------
 # Traced conv helpers
 # ----------------------------------------------------------------------
@@ -165,35 +156,15 @@ def _quantize_w(w: np.ndarray):
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _kernel_of(w):
-    """Kernel array of a conv weight leaf: plain array, or the int8 half
-    of a (q_int8, scale) pair (RDVC_INT8_INFER)."""
-    return w[0] if isinstance(w, tuple) else w
-
-
 def _s2d_pad(w) -> Tuple[int, int]:
     """Static padding for an s2d-space kernel: every rearranged kernel here
     is either 3-tap (window dm in [-1,1] -> pad (1,1)) or 2-tap (window
     dm in [-1,0] -> pad (1,0)). Kernel shape is static under jit; the pad
     tuples must NOT live in the param pytree (they would trace as leaves)."""
-    return (1, 1) if _kernel_of(w).shape[0] == 3 else (1, 0)
+    return (1, 1) if w.shape[0] == 3 else (1, 0)
 
 
 def _conv(x, w, pad, stride: int = 1):
-    if isinstance(w, tuple):
-        # int8 path (RDVC_INT8_INFER): symmetric per-tensor dynamic
-        # activation scale, per-output-channel weight scale; the MXU runs
-        # int8 x int8 -> int32 at twice the bf16 rate on v5e.
-        q, s_w = w
-        s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-12
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / s_x), -127, 127
-        ).astype(jnp.int8)
-        y = jax.lax.conv_general_dilated(
-            xq, q, (stride, stride), (tuple(pad), tuple(pad)),
-            dimension_numbers=_DN, preferred_element_type=jnp.int32,
-        )
-        return y.astype(jnp.float32) * (s_x * s_w)
     return jax.lax.conv_general_dilated(
         x.astype(w.dtype), w, (stride, stride), (tuple(pad), tuple(pad)),
         dimension_numbers=_DN,
@@ -226,7 +197,7 @@ def _res_blocks(p: dict):
     return out
 
 
-def _prep_analysis(p: dict, dtype, int8: bool = False) -> dict:
+def _prep_analysis(p: dict, dtype) -> dict:
     """AnalysisTransform params -> fast tree. Stem (k5 s1) + first
     downsample (k3 s2) run in s2d space; the rest is already lane-friendly."""
     n_cna = len([k for k in p if re.fullmatch(r"ConvNormAct_\d+", k)])
@@ -235,41 +206,31 @@ def _prep_analysis(p: dict, dtype, int8: bool = False) -> dict:
     sw, _ = conv_s1_weights_to_s2d(stem_w)
     dw, _ = conv_s2_weights_to_s2d(down_w)
     cast = lambda a: jnp.asarray(a, dtype)
-    wcast = _quantize_w if int8 else cast
     return {
         "s2d": {
-            "stem_w": wcast(sw), "stem_b": cast(_tile4(stem_b)),
-            "down_w": wcast(dw), "down_b": cast(down_b),
+            "stem_w": cast(sw), "stem_b": cast(_tile4(stem_b)),
+            "down_w": cast(dw), "down_b": cast(down_b),
         },
         "plain": {
-            "stem_w": wcast(stem_w), "stem_b": cast(stem_b),
-            "down_w": wcast(down_w), "down_b": cast(down_b),
+            "stem_w": cast(stem_w), "stem_b": cast(stem_b),
+            "down_w": cast(down_w), "down_b": cast(down_b),
         },
         "downs": [
-            (wcast(w), cast(b))
+            (cast(w), cast(b))
             for w, b in (_cna(p[f"ConvNormAct_{i}"]) for i in range(2, n_cna))
         ],
         "res": [
-            (wcast(w1), cast(b1), wcast(w2), cast(b2))
+            (cast(w1), cast(b1), cast(w2), cast(b2))
             for (w1, b1), (w2, b2) in _res_blocks(p)
         ],
-        "out": (lambda w, b: (wcast(w), cast(b)))(*_cna(p["Conv_0"])),
+        "out": (lambda w, b: (cast(w), cast(b)))(*_cna(p["Conv_0"])),
     }
 
 
-def _prep_synthesis(
-    p: dict, dtype, int8: bool = False, int8_tail: bool = True
-) -> dict:
+def _prep_synthesis(p: dict, dtype) -> dict:
     """SynthesisTransform params -> fast tree. The LAST ConvTranspose and
     the k5 output conv run in s2d space (sub-pixel tail); trunk ConvTranspose
-    layers keep the native lowering (measured 42% MFU — already good, and
-    exempt from int8: lax.conv_transpose has no int8 accumulation path).
-
-    int8_tail=False keeps the pixel-emitting tail in bf16: the residual
-    decoder's output adds LINEARLY into the reconstruction, so tail
-    quantization noise lands directly on pixels (measured: int8 residual
-    tail caps trained-checkpoint agreement at ~25 dB; bf16 tail restores
-    ~43 dB)."""
+    layers keep the native lowering (measured 42% MFU — already good)."""
     n_up = len([k for k in p if re.fullmatch(r"ConvTransposeNormAct_\d+", k)])
     ups = [_cna_t(p[f"ConvTransposeNormAct_{i}"]) for i in range(n_up)]
     last_w, last_b = ups[-1]
@@ -277,18 +238,17 @@ def _prep_synthesis(
     out_w, out_b = _cna(p["Conv_0"])
     ow, _ = conv_s1_weights_to_s2d(out_w)
     cast = lambda a: jnp.asarray(a, dtype)
-    wcast = _quantize_w if int8 else cast
     return {
-        "head": (lambda w, b: (wcast(w), cast(b)))(*_cna(p["ConvNormAct_0"])),
+        "head": (lambda w, b: (cast(w), cast(b)))(*_cna(p["ConvNormAct_0"])),
         "res": [
-            (wcast(w1), cast(b1), wcast(w2), cast(b2))
+            (cast(w1), cast(b1), cast(w2), cast(b2))
             for (w1, b1), (w2, b2) in _res_blocks(p)
         ],
         "ups": [tuple(map(cast, u)) for u in ups[:-1]],
         "tail": {
-            "up_w": (wcast if int8_tail else cast)(uw),
+            "up_w": cast(uw),
             "up_b": cast(_tile4(last_b)),
-            "out_w": (wcast if int8_tail else cast)(ow),
+            "out_w": cast(ow),
             "out_b": cast(_tile4(out_b)),
         },
     }
@@ -299,7 +259,7 @@ def _cna_t(p: dict) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(c["kernel"], np.float64), np.asarray(c["bias"], np.float64)
 
 
-def _prep_mcn(p: dict, dtype, int8: bool = False) -> dict:
+def _prep_mcn(p: dict, dtype) -> dict:
     """MCN params -> fast tree: the ENTIRE network runs in s2d space (all
     of it is full-resolution at <=32 channels)."""
     stem_w, stem_b = _cna(p["ConvNormAct_0"])
@@ -307,53 +267,44 @@ def _prep_mcn(p: dict, dtype, int8: bool = False) -> dict:
     sw, _ = conv_s1_weights_to_s2d(stem_w)
     ow, _ = conv_s1_weights_to_s2d(out_w)
     cast = lambda a: jnp.asarray(a, dtype)
-    wcast = _quantize_w if int8 else cast
     return {
         "s2d": {
-            "stem_w": wcast(sw), "stem_b": cast(_tile4(stem_b)),
+            "stem_w": cast(sw), "stem_b": cast(_tile4(stem_b)),
             "res": [
                 (
-                    wcast(conv_s1_weights_to_s2d(w1)[0]), cast(_tile4(b1)),
-                    wcast(conv_s1_weights_to_s2d(w2)[0]), cast(_tile4(b2)),
+                    cast(conv_s1_weights_to_s2d(w1)[0]), cast(_tile4(b1)),
+                    cast(conv_s1_weights_to_s2d(w2)[0]), cast(_tile4(b2)),
                 )
                 for (w1, b1), (w2, b2) in _res_blocks(p)
             ],
-            "out_w": wcast(ow), "out_b": cast(_tile4(out_b)),
+            "out_w": cast(ow), "out_b": cast(_tile4(out_b)),
         },
         "plain": {
-            "stem_w": wcast(stem_w), "stem_b": cast(stem_b),
+            "stem_w": cast(stem_w), "stem_b": cast(stem_b),
             "res": [
-                (wcast(w1), cast(b1), wcast(w2), cast(b2))
+                (cast(w1), cast(b1), cast(w2), cast(b2))
                 for (w1, b1), (w2, b2) in _res_blocks(p)
             ],
-            "out_w": wcast(out_w), "out_b": cast(out_b),
+            "out_w": cast(out_w), "out_b": cast(out_b),
         },
     }
 
 
-def build_fast_params(
-    params: dict, dtype=jnp.bfloat16, int8: Optional[bool] = None
-) -> dict:
+def build_fast_params(params: dict, dtype=jnp.bfloat16) -> dict:
     """BN-folded (norm='none') VideoCodec params -> fast inference tree.
 
-    int8 (or RDVC_INT8_INFER=1, default off): regular convs quantize to
-    symmetric per-output-channel int8 weights with dynamic per-tensor
-    activation scales — int8 x int8 -> int32 runs the MXU at twice the
-    bf16 rate on v5e. ConvTranspose trunks stay bf16."""
-    if int8 is None:
-        import os
-
-        int8 = os.environ.get("RDVC_INT8_INFER", "0") == "1"
+    An int8 weight path was measured here in round 3 and REMOVED in round
+    4: with dynamic per-tensor activation scales it was slower than bf16
+    on every stage (benchmarks/profile_stages_latest.json
+    encode_chain_int8 68.3 vs 66.6 ms/frame, dec_reconstruct_int8 59.3 vs
+    57.3) — the scale reductions serialized against the convs and v5e's
+    int8 MXU rate never paid for them."""
     return {
-        "motion_encoder": _prep_analysis(params["motion_encoder"], dtype, int8),
-        "residual_encoder": _prep_analysis(params["residual_encoder"], dtype, int8),
-        "motion_decoder": _prep_synthesis(params["motion_decoder"], dtype, int8),
-        # The residual tail emits pixels; its quantization noise is additive
-        # in the output, so it stays bf16 (see _prep_synthesis docstring).
-        "residual_decoder": _prep_synthesis(
-            params["residual_decoder"], dtype, int8, int8_tail=False
-        ),
-        "mcn": _prep_mcn(params["motion_compensation_net"], dtype, int8),
+        "motion_encoder": _prep_analysis(params["motion_encoder"], dtype),
+        "residual_encoder": _prep_analysis(params["residual_encoder"], dtype),
+        "motion_decoder": _prep_synthesis(params["motion_decoder"], dtype),
+        "residual_decoder": _prep_synthesis(params["residual_decoder"], dtype),
+        "mcn": _prep_mcn(params["motion_compensation_net"], dtype),
     }
 
 
@@ -372,7 +323,7 @@ def analysis_apply(fp: dict, x: jax.Array, act, dtype) -> jax.Array:
         z = act(_conv(z, s["down_w"], _s2d_pad(s["down_w"])) + s["down_b"])
     else:
         p = fp["plain"]
-        k = _kernel_of(p["stem_w"]).shape[0] // 2
+        k = p["stem_w"].shape[0] // 2
         z = act(_conv(x, p["stem_w"], (k, k)) + p["stem_b"])
         z = act(_conv(z, p["down_w"], (1, 1), stride=2) + p["down_b"])
     for w, b in fp["downs"]:

@@ -238,6 +238,63 @@ class CoherentCropDataset:
         )
 
 
+class CoherentCropSequenceDataset:
+    """Procedural T-frame sequences with coherent global translation — the
+    sequence form of CoherentCropDataset for the sequence-unrolled
+    fine-tune (train/loop.py seq path). Item = (frames (T, s, s, 3),
+    flows (T-1, s, s, 2)); frame_t is the base crop offset by t*(dx, dy)
+    so every pair's GT flow is the constant (dx, dy), matching the
+    backward-warp convention f_{t+1}(x) = f_t(x + flow)."""
+
+    def __init__(
+        self,
+        size: int = 256,
+        length: int = 256,
+        seq_len: int = 4,
+        seed: int = 2,
+        max_step: int = 4,
+    ):
+        self.size = size
+        self.length = length
+        self.seq_len = seq_len
+        self.seed = seed
+        self.max_step = max_step
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, i: int):
+        rng = np.random.RandomState(self.seed * 99991 + i)
+        s, T, m = self.size, self.seq_len, self.max_step
+        dx, dy = rng.randint(-m, m + 1, size=2)
+        pad = m * (T - 1)
+        ys, xs = np.mgrid[0 : s + 2 * pad, 0 : s + 2 * pad].astype(
+            np.float32
+        )
+        base = np.zeros((s + 2 * pad, s + 2 * pad, 3), np.float32)
+        for _ in range(5):
+            fx, fy = rng.rand(2) * 0.35 + 0.01
+            ph = rng.rand() * 6.28
+            amp = rng.rand(3) * 0.25
+            base += amp[None, None] * np.sin(
+                xs[..., None] * fx + ys[..., None] * fy + ph
+            )
+        base = (base - base.min()) / max(np.ptp(base), 1e-6)
+        frames = np.stack(
+            [
+                base[
+                    pad + dy * t : pad + dy * t + s,
+                    pad + dx * t : pad + dx * t + s,
+                ]
+                for t in range(T)
+            ]
+        )
+        flows = np.empty((T - 1, s, s, 2), np.float32)
+        flows[..., 0] = dx
+        flows[..., 1] = dy
+        return np.ascontiguousarray(frames), flows
+
+
 class MixtureDataset:
     """Round-robin mixture of datasets (equal proportion by index)."""
 
@@ -251,6 +308,27 @@ class MixtureDataset:
         k = i % len(self.datasets)
         d = self.datasets[k]
         return d[(i // len(self.datasets)) % len(d)]
+
+
+def sequence_batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Epoch iterator for sequence datasets: yields (frames, flows) with
+    frames (B, T, H, W, 3) and flows (B, T-1, H, W, 2)."""
+    idx = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    n = len(idx)
+    stop = n - (n % batch_size) if drop_last else n
+    for start in range(0, stop, batch_size):
+        items = [dataset[int(i)] for i in idx[start : start + batch_size]]
+        frames = np.stack([a for a, _ in items])
+        flows = np.stack([b for _, b in items])
+        yield frames, flows
 
 
 def batch_iterator(

@@ -26,7 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from rdvc_tpu.config import ModelConfig, TrainConfig
 from rdvc_tpu.models.codec import VideoCodec, init_codec_variables
 from rdvc_tpu.ops.metrics import ms_ssim, psnr, ssim
-from rdvc_tpu.train.data import batch_iterator
+from rdvc_tpu.train.data import batch_iterator, sequence_batch_iterator
 from rdvc_tpu.train.phases import (
     loss_weights,
     lr_for_phase,
@@ -213,6 +213,78 @@ class Trainer:
         }
         return loss, (updates["batch_stats"], metrics)
 
+    def _loss_fn_seq(self, params, batch_stats, batch, phase: int, noise_rng):
+        """Sequence-unrolled loss (VideoCodec.forward_sequence): per-step
+        rate/distortion averaged over the T-1 unrolled P-frames, with the
+        warp reference chained through the reconstructions. Closes the
+        train/decode mismatch behind long-GOP drift (round-3 sustained run
+        collapsed from 41 dB to 6.6 dB across a 32-frame GOP)."""
+        frames, flows = batch
+        out, updates = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            frames, flows, phase, train=True,
+            rngs={"noise": noise_rng},
+            mutable=["batch_stats"],
+            method=VideoCodec.forward_sequence,
+        )
+        B, T, H, W, _ = frames.shape
+        num_px = B * (T - 1) * H * W
+        w = loss_weights(self.cfg, phase)
+        bpp_m = out["rate_motion_sum"] / num_px
+        bpp_r = out["rate_residual_sum"] / num_px
+        if "rate_motion_hyper_sum" in out:
+            bpp_m = bpp_m + out["rate_motion_hyper_sum"] / num_px
+            bpp_r = bpp_r + out["rate_residual_hyper_sum"] / num_px
+        recon = out["recons"].reshape(B * (T - 1), H, W, 3)
+        target = frames[:, 1:].reshape(B * (T - 1), H, W, 3)
+        loss = (
+            w["flow"] * out["mse_flow"]
+            + w["residual"] * out["mse_residual"]
+            + w["bpp_motion"] * bpp_m
+            + w["bpp_residual"] * bpp_r
+        )
+        msssim_val = jnp.float32(0.0)
+        if w["msssim"] > 0:
+            if min(H, W) > 160:
+                msssim_val = jnp.mean(ms_ssim(recon, target))
+            else:
+                msssim_val = jnp.mean(
+                    ssim(recon, target, win_size=11, gaussian=True)
+                )
+            loss = loss + w["msssim"] * (1.0 - msssim_val)
+        if w["recon_mse"] > 0:
+            loss = loss + w["recon_mse"] * jnp.mean(
+                jnp.square(recon - target)
+            )
+        # The unroll's own drift penalty: the LAST step's reconstruction
+        # error is what GOP-tail quality is made of; weight it explicitly
+        # even in phase 2 (where the pairwise loss has no recon term).
+        last = out["recons"][:, -1]
+        loss = loss + self.cfg.lambda_seq_recon * jnp.mean(
+            jnp.square(last - frames[:, -1])
+        )
+        aux = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            method=VideoCodec.aux_loss,
+        )
+        loss = loss + 1e-2 * aux
+        metrics = {
+            "loss": loss,
+            "bpp_motion": bpp_m,
+            "bpp_residual": bpp_r,
+            "mse_flow": out["mse_flow"],
+            "mse_residual": out["mse_residual"],
+            "msssim": msssim_val,
+            "psnr": jnp.mean(psnr(recon, target)),
+            "psnr_last": jnp.mean(psnr(last, frames[:, -1])),
+            "aux": aux,
+        }
+        return loss, (updates["batch_stats"], metrics)
+
+    @staticmethod
+    def _is_sequence_batch(batch) -> bool:
+        return len(batch) == 2 and np.ndim(batch[0]) == 5
+
     def train_step(
         self, state: TrainState, batch, phase: Optional[int] = None
     ) -> Tuple[TrainState, Dict[str, float]]:
@@ -230,16 +302,17 @@ class Trainer:
             state = dataclasses.replace(
                 state, opt_state=opt_state, optimizer_mode=mode
             )
-        f1, f2, flow = (jnp.asarray(x, jnp.float32) for x in batch)
+        seq = self._is_sequence_batch(batch)
+        arrays = tuple(jnp.asarray(x, jnp.float32) for x in batch)
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(self.cfg.data_axis))
-            f1, f2, flow = (jax.device_put(x, sh) for x in (f1, f2, flow))
+            arrays = tuple(jax.device_put(x, sh) for x in arrays)
         rng = jax.random.fold_in(
             jax.random.PRNGKey(self.cfg.seed), state.step
         )
-        jitted = self._jitted(phase, tx)
+        jitted = self._jitted(phase, tx, seq=seq)
         params, batch_stats, opt_state, metrics = jitted(
-            state.params, state.batch_stats, state.opt_state, f1, f2, flow, rng
+            state.params, state.batch_stats, state.opt_state, *arrays, rng
         )
         new_state = dataclasses.replace(
             state,
@@ -250,14 +323,16 @@ class Trainer:
         )
         return new_state, {k: float(v) for k, v in metrics.items()}
 
-    def _jitted(self, phase: int, tx):
-        key = (phase, id(tx))
+    def _jitted(self, phase: int, tx, seq: bool = False):
+        key = (phase, id(tx), seq)
         if key not in self._step_cache:
+            loss_fn = self._loss_fn_seq if seq else self._loss_fn
 
-            def step(params, batch_stats, opt_state, f1, f2, flow, rng):
+            def step(params, batch_stats, opt_state, *rest):
+                *batch, rng = rest
                 (loss, (new_bs, metrics)), grads = jax.value_and_grad(
-                    self._loss_fn, has_aux=True
-                )(params, batch_stats, (f1, f2, flow), phase, rng)
+                    loss_fn, has_aux=True
+                )(params, batch_stats, tuple(batch), phase, rng)
                 updates, new_opt = tx.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
                 return new_params, new_bs, new_opt, metrics
@@ -441,13 +516,18 @@ class Trainer:
             spatial=cfg.crop_size or (64, 64)
         )
         num_epochs = num_epochs or cfg.num_epochs
+        # Sequence datasets (items = (frames (T,H,W,3), flows)) route
+        # through the unrolled loss; pair datasets keep the pairwise path.
+        probe = dataset[0]
+        seq_data = len(probe) == 2 and np.ndim(probe[0]) == 4
+        iterator = sequence_batch_iterator if seq_data else batch_iterator
         for epoch in range(state.epoch, num_epochs + 1):
             state = self.maybe_reconfigure(state, epoch)
             phase = phase_for_epoch(cfg, epoch)
             t0 = time.time()
             agg: Dict[str, float] = {}
             n = 0
-            for batch in batch_iterator(
+            for batch in iterator(
                 dataset, cfg.batch_size, seed=cfg.seed + epoch
             ):
                 try:
@@ -471,6 +551,7 @@ class Trainer:
                     )
                 if (
                     cfg.real_bitstream_check_every
+                    and not seq_data
                     and n % cfg.real_bitstream_check_every == 0
                 ):
                     log.info(
@@ -484,7 +565,7 @@ class Trainer:
                 {k: round(v / max(n, 1), 5) for k, v in agg.items()},
             )
             self.save(state)
-            if self.cfg.vis_dir and n > 0:
+            if self.cfg.vis_dir and n > 0 and not seq_data:
                 try:
                     from rdvc_tpu.train.visualize import visualize_epoch
 

@@ -41,17 +41,58 @@ def device_fence(out) -> float:
     return float(np.asarray(_tiny_reduce(leaf)))
 
 
-def time_device(fn: Callable[[], object], iters: int = 3) -> float:
-    """Seconds per iteration of fn()'s DEVICE work: fn dispatches (already
-    compiled — call once before to warm) and returns device arrays; the
-    fence materializes once after all iters."""
+def fence_overhead(samples: int = 3) -> float:
+    """Measured cost of one device_fence on an idle queue: the tiny-reduce
+    dispatch + few-byte relay download round trip. On the axon relay this
+    is 0.3-3 s and VARIABLE — it must be amortized/subtracted, or every
+    sub-300ms/dispatch stage measurement is pure link noise (this is what
+    made round-3's profile_stages numbers irreconcilable: a '39 ms/frame'
+    update block inside a RAFT whose 8 extra iterations cost 1.8 ms)."""
+    x = jax.device_put(np.zeros(8, np.float32))
+    device_fence(x)  # warm _tiny_reduce compile + queue drain
+    best = float("inf")
+    for _ in range(max(1, samples)):
+        t0 = time.perf_counter()
+        device_fence(x)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_device(
+    fn: Callable[[], object],
+    iters: int = 3,
+    target_ratio: float = 8.0,
+    max_iters: int = 200,
+) -> float:
+    """Seconds per iteration of fn()'s DEVICE work.
+
+    fn dispatches (already compiled — call once before to warm) and returns
+    device arrays; ONE fence materializes after all iters. The fence's own
+    round trip is measured on an idle queue and subtracted; if it still
+    dominates (loop < target_ratio * fence), the loop re-runs with enough
+    iterations that the residual fence error is < 1/target_ratio of the
+    reported number."""
     out = fn()
     device_fence(out)  # warm + drain queue
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    device_fence(out)
-    return (time.perf_counter() - t0) / max(1, iters)
+    ov = fence_overhead(2)
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn()
+        device_fence(o)
+        return time.perf_counter() - t0
+
+    total = run(iters)
+    n = iters
+    if total < target_ratio * ov and n < max_iters:
+        # Fence-dominated: scale the loop so device work amortizes the
+        # round trip. Estimate per-iter from the first (noisy) run.
+        per = max((total - ov) / n, 1e-4)
+        n = int(min(max_iters, max(n, np.ceil(target_ratio * ov / per))))
+        total = run(n)
+    return max(total - ov, 1e-9) / max(1, n)
 
 
 @jax.jit

@@ -1,5 +1,6 @@
-"""Generate RD_r03.md: multi-rate RD measurement in the reference's bpp
-regime (VERDICT r2 items #2/#3).
+"""Generate RD_r04.md: multi-rate RD measurement in the reference's bpp
+regime (VERDICT r2 items #2/#3; r3 item #1 adds the production-arch
+hyperprior rate points).
 
 Axes:
   * rate ladder — lambda_bpp fine-tuned checkpoints
@@ -114,16 +115,21 @@ dt = time.time() - t_start
 
 # Merge into an existing report (RD_MERGE=1): lets a later run add new
 # rate points (e.g. freshly trained lambda checkpoints via RD_CKPTS)
-# without re-sweeping the existing ones.
-if os.environ.get("RD_MERGE") == "1" and os.path.exists(
-    "benchmarks/rd_r03.json"
-):
-    with open("benchmarks/rd_r03.json") as f:
-        prev = json.load(f)
-    merged = dict(prev.get("results", {}))
-    merged.update(all_results)
-    all_results = merged
-    dt += prev.get("sweep_minutes", 0.0) * 60
+# without re-sweeping the existing ones. Prefers this round's artifact,
+# falling back to the round-3 one for the first merge of the round.
+if os.environ.get("RD_MERGE") == "1":
+    prev_path = next(
+        (p for p in ("benchmarks/rd_r04.json", "benchmarks/rd_r03.json")
+         if os.path.exists(p)),
+        None,
+    )
+    if prev_path:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        merged = dict(prev.get("results", {}))
+        merged.update(all_results)
+        all_results = merged
+        dt += prev.get("sweep_minutes", 0.0) * 60
 
 report = {
     "frames": FRAMES,
@@ -134,7 +140,7 @@ report = {
     "results": all_results,
     "sweep_minutes": dt / 60,
 }
-with open("benchmarks/rd_r03.json", "w") as f:
+with open("benchmarks/rd_r04.json", "w") as f:
     json.dump(report, f, indent=2)
 
 try:
@@ -148,7 +154,7 @@ try:
             }
             for name, res in all_results.items()
         },
-        "benchmarks/rd_r03.png",
+        "benchmarks/rd_r04.png",
     )
 except Exception as e:  # plot is cosmetic; never lose the measurements
     print("plot failed:", e)
@@ -156,7 +162,7 @@ except Exception as e:  # plot is cosmetic; never lose the measurements
 from rdvc_tpu.utils.vis import REFERENCE_RD
 
 lines = [
-    "# RD_r03 — multi-rate RD measurement (round 3)",
+    "# RD_r04 — multi-rate RD measurement (round 4)",
     "",
     "Rate control into the reference's operating regime: lambda_bpp",
     "fine-tuned checkpoints (scripts/train_rate_points.py) x the",
@@ -221,6 +227,6 @@ for vid, rows in REFERENCE_RD.items():
         lines.append(
             "| %s | %s | %.2f | %.4f | %.4f |" % (vid, hh, psnr_v, ms_v, bpp_v)
         )
-with open("RD_r03.md", "w") as f:
+with open("RD_r04.md", "w") as f:
     f.write("\n".join(lines) + "\n")
-print("wrote RD_r03.md (%.1f min)" % (dt / 60))
+print("wrote RD_r04.md (%.1f min)" % (dt / 60))

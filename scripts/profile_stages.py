@@ -394,50 +394,6 @@ log("frame_download", {
     "mb_per_s": down["mb_per_s"],
 })
 
-# ---------------- int8 A/B (RDVC_INT8_INFER) ----------------
-# Same stages with the int8 inference graph (per-out-channel int8
-# weights, dynamic activation scales; residual tail bf16). RD effect
-# measured CPU-side in benchmarks/ab_int8_rd.json; this measures the
-# device-time effect so the flag decision is evidence-based.
-if os.environ.get("PROF_INT8", "1") != "0":
-    try:
-        os.environ["RDVC_INT8_INFER"] = "1"
-        rt8 = CodecRuntime(
-            model_cfg=CodecConfig().model_config(),
-            checkpoint_path=ckpt if os.path.exists(ckpt) else None,
-        )
-        os.environ["RDVC_INT8_INFER"] = "0"
-        rt8.attach_raft(runner.model, runner.variables)
-
-        enc8_args = (
-            rt8.variables, runner.variables, chain_dev,
-            RAFT_HW, COMP_HW, COMP_HW,
-        )
-        fn8 = rt8._fused_encode_chain_i420_fn
-        fn8(*enc8_args)
-        t = time_device(lambda: fn8(*enc8_args), ITERS)
-        log("encode_chain_int8", {"ms_per_frame": t / B * 1e3})
-
-        scan8_args = (
-            rt8.variables, state, state, state, mT, rT,
-            jnp.float32(0.0), jnp.float32(0.0), (H, W), True,
-        )
-        rt8._scan_decode_fn(*scan8_args)
-        t = time_device(lambda: rt8._scan_decode_fn(*scan8_args), ITERS)
-        log("decode_scan_int8", {"ms_per_frame": t / n_f * 1e3})
-
-        rec8_args = (
-            rt8.variables, state,
-            mT[0].astype(jnp.float32) + m_med,
-            rT[0].astype(jnp.float32) + r_med,
-            (H, W),
-        )
-        rt8._reconstruct_fn(*rec8_args)
-        t = time_device(lambda: rt8._reconstruct_fn(*rec8_args), ITERS)
-        log("dec_reconstruct_int8", {"ms_per_frame": t / G * 1e3})
-    except Exception as e:  # never lose the report to the A/B section
-        log("int8_ab_error", repr(e))
-
 # ---------------- hyperprior path (PROF_HYPER, default on) ----------------
 # Device times of the fused hyper encode stages + batched hyper decode at
 # the production architecture (random init — timing, not RD). Attribution

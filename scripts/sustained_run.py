@@ -6,7 +6,10 @@ growth, and PSNR-vs-frame-index drift across GOPs. Streams the decoded
 YUV from disk so 600 frames never sit in host RAM at once.
 
 Run on the real TPU:  python scripts/sustained_run.py
-Env: SUST_FRAMES (default 600)
+Env: SUST_FRAMES (default 600), SUST_CKPT (codec checkpoint; default
+demo_synthetic), SUST_HYPER=1 (hyperprior checkpoint/model),
+SUST_CALIB=0 (skip the EB clip calibration — rate-point checkpoints
+measure their own trained rate model), SUST_TAG (artifact name suffix).
 """
 
 import json
@@ -38,6 +41,10 @@ from rdvc_tpu.pipeline.encode import encode_video
 N = int(os.environ.get("SUST_FRAMES", "600"))
 H = int(os.environ.get("SUST_H", "1080"))
 W = int(os.environ.get("SUST_W", "1920"))
+CKPT = os.environ.get("SUST_CKPT", "checkpoints/demo_synthetic.ckpt")
+HYPER = os.environ.get("SUST_HYPER", "0") == "1"
+CALIB = os.environ.get("SUST_CALIB", "1") != "0"
+TAG = os.environ.get("SUST_TAG", "")
 
 
 def rss_mb() -> float:
@@ -56,7 +63,8 @@ def peak_device_bytes() -> int:
         return 0
 
 
-report = {"frames": N, "resolution": [W, H]}
+report = {"frames": N, "resolution": [W, H],
+          "checkpoint": CKPT, "hyperprior": HYPER}
 with tempfile.TemporaryDirectory() as td:
     yuv = os.path.join(td, "in.yuv")
     t0 = time.time()
@@ -78,7 +86,8 @@ with tempfile.TemporaryDirectory() as td:
     config.decode_gop_batch = 2
     config.raft_backend = "raft"
     config.raft_checkpoint_path = "checkpoints/demo_raft.ckpt"
-    config.codec_checkpoint_path = "checkpoints/demo_synthetic.ckpt"
+    config.codec_checkpoint_path = CKPT
+    config.hyperprior = HYPER
 
     runtime = CodecRuntime(
         model_cfg=config.model_config(),
@@ -96,11 +105,16 @@ with tempfile.TemporaryDirectory() as td:
     # Same EB calibration as bench.py (shared helper): the sustained run
     # must measure the escape-free device-coding regime, not a drifted
     # rate model falling back to the host bypass coder for 600 frames.
-    from rdvc_tpu.eval.calibration import calibrate_on_clip
+    # SUST_CALIB=0 for rate-point checkpoints whose trained rate model IS
+    # the thing being measured (the factorized EB-only fit would move the
+    # operating point; hyper checkpoints condition the y coder on z, so
+    # there is nothing to calibrate there either).
+    if CALIB and not HYPER:
+        from rdvc_tpu.eval.calibration import calibrate_on_clip
 
-    calibrate_on_clip(
-        runtime, runner.variables, coherent_clip(3, H, W, seed=7), config
-    )
+        calibrate_on_clip(
+            runtime, runner.variables, coherent_clip(3, H, W, seed=7), config
+        )
 
     # Warmup must span a FULL GOP plus the next I-frame so the timed run
     # never compiles the full-size P-frame batch / T-step decode scan
@@ -154,10 +168,11 @@ with tempfile.TemporaryDirectory() as td:
     # timeout during the (relay-bound) MS-SSIM uploads must not lose the
     # fps/memory measurements.
     os.makedirs("benchmarks", exist_ok=True)
+    _suffix = f"_{TAG}" if TAG else ""
     _partial_name = (
-        "benchmarks/sustained_r03.json"
+        f"benchmarks/sustained_r04{_suffix}.json"
         if (H, W, N) == (1080, 1920, 600)
-        else f"benchmarks/sustained_smoke_{N}f_{H}p.json"
+        else f"benchmarks/sustained_smoke_{N}f_{H}p{_suffix}.json"
     )
     with open(_partial_name, "w") as f:
         json.dump({**report, "partial": "metrics pending"}, f, indent=2)
@@ -203,10 +218,11 @@ with tempfile.TemporaryDirectory() as td:
 os.makedirs("benchmarks", exist_ok=True)
 # Smoke runs (reduced resolution/frames) must never masquerade as the
 # real 600-frame 1080p artifact.
+_suffix = f"_{TAG}" if TAG else ""
 out_name = (
-    "benchmarks/sustained_r03.json"
+    f"benchmarks/sustained_r04{_suffix}.json"
     if (H, W, N) == (1080, 1920, 600)
-    else f"benchmarks/sustained_smoke_{N}f_{H}p.json"
+    else f"benchmarks/sustained_smoke_{N}f_{H}p{_suffix}.json"
 )
 with open(out_name, "w") as f:
     json.dump(report, f, indent=2)

@@ -223,73 +223,3 @@ def test_calibration_reattaches_fast_tree():
     assert np.isfinite(np.asarray(out["reconstructed"])).all()
 
 
-def test_int8_graph_agrees_with_bf16():
-    """RDVC_INT8_INFER=1 quantizes the regular convs to int8; the
-    reconstruction must stay within quantization noise of the bf16 fast
-    graph (>40 dB agreement — far above the codec's ~30 dB operating
-    distortion, so int8 is RD-neutral)."""
-    import os
-
-    from rdvc_tpu.config import ModelConfig
-    from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
-
-    rng = np.random.RandomState(7)
-    prev = rng.rand(1, 64, 96, 3).astype(np.float32)
-    q_m = rng.randint(-3, 4, (1, 8, 12, 128)).astype(np.float32)
-    q_r = rng.randint(-3, 4, (1, 8, 12, 192)).astype(np.float32)
-
-    rt = CodecRuntime(model_cfg=ModelConfig(), seed=0)
-    os.environ["RDVC_INT8_INFER"] = "1"
-    try:
-        rt8 = CodecRuntime(model_cfg=ModelConfig(), seed=0)
-    finally:
-        del os.environ["RDVC_INT8_INFER"]
-
-    a = np.asarray(rt.reconstruct_p_frame(prev, q_m, q_r, (64, 96))["reconstructed"])
-    b = np.asarray(rt8.reconstruct_p_frame(prev, q_m, q_r, (64, 96))["reconstructed"])
-    agree_db = 10 * np.log10(1.0 / max(float(np.mean((a - b) ** 2)), 1e-12))
-    assert agree_db > 40.0, agree_db
-    # Encode side: analysis symbols must be near-identical too.
-    flow = jnp.asarray(rng.randn(1, 64, 96, 2).astype(np.float32))
-    from rdvc_tpu.models.codec import VideoCodec
-
-    m_a = np.asarray(rt._apply(rt.variables, flow, method=VideoCodec.analyze_motion))
-    m_b = np.asarray(rt8._apply(rt8.variables, flow, method=VideoCodec.analyze_motion))
-    assert np.mean(np.abs(np.round(m_a) - np.round(m_b)) <= 1) > 0.999
-
-
-@pytest.mark.slow
-def test_int8_graph_trained_ckpt_agreement():
-    """On the TRAINED demo checkpoint (BN-folded kernels have real dynamic
-    range, unlike random init) the int8 graph must stay above 40 dB
-    agreement — the residual decoder tail stays bf16 for exactly this."""
-    import os
-
-    from rdvc_tpu.config import ModelConfig
-    from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
-
-    ckpt = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "checkpoints", "demo_synthetic.ckpt",
-    )
-    if not os.path.exists(ckpt):
-        pytest.skip("demo checkpoint not present")
-    rt = CodecRuntime(model_cfg=ModelConfig(), checkpoint_path=ckpt)
-    os.environ["RDVC_INT8_INFER"] = "1"
-    try:
-        rt8 = CodecRuntime(model_cfg=ModelConfig(), checkpoint_path=ckpt)
-    finally:
-        del os.environ["RDVC_INT8_INFER"]
-    from rdvc_tpu.eval.clips import coherent_clip
-
-    rng = np.random.RandomState(1)
-    # Realistic content (white-noise frames are an adversarial int8
-    # workload the codec never sees — flat spectrum saturates the
-    # per-tensor activation scales).
-    prev = coherent_clip(1, 96, 128, seed=3)[0][None].astype(np.float32) / 255.0
-    q_m = rng.randint(-6, 7, (1, 12, 16, 128)).astype(np.float32)
-    q_r = rng.randint(-6, 7, (1, 12, 16, 192)).astype(np.float32)
-    a = np.asarray(rt.reconstruct_p_frame(prev, q_m, q_r, (96, 128))["reconstructed"])
-    b = np.asarray(rt8.reconstruct_p_frame(prev, q_m, q_r, (96, 128))["reconstructed"])
-    agree_db = 10 * np.log10(1.0 / max(float(np.mean((a - b) ** 2)), 1e-12))
-    assert agree_db > 38.0, agree_db
