@@ -36,6 +36,8 @@ from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
 from rdvc_tpu.postproc import histogram_match_ycrcb
 from rdvc_tpu.utils.profiling import (
     compiled_cost,
+    dispatch_floor,
+    fence_overhead,
     mfu,
     time_device,
     time_transfer_down,
@@ -81,7 +83,11 @@ frames = coherent_clip(B + 1, H, W, seed=0)
 chain_i420 = np.stack([rgb_to_yuv420p(f) for f in frames])  # (B+1, H*1.5, W)
 chain_dev = jax.device_put(chain_i420)
 
-# ---------------- link bandwidth ----------------
+# ---------------- link calibration ----------------
+# Stages whose device time is below dispatch_floor_s measure the relay
+# dispatch round trip, not the kernel: treat them as upper bounds.
+log("fence_overhead_s", fence_overhead(3))
+log("dispatch_floor_s", dispatch_floor(5))
 log("up_link", time_transfer_up(chain_i420))
 log("down_link", time_transfer_down(chain_dev))
 

@@ -9,7 +9,9 @@ Run on the real TPU:  python scripts/sustained_run.py
 Env: SUST_FRAMES (default 600), SUST_CKPT (codec checkpoint; default
 demo_synthetic), SUST_HYPER=1 (hyperprior checkpoint/model),
 SUST_CALIB=0 (skip the EB clip calibration — rate-point checkpoints
-measure their own trained rate model), SUST_TAG (artifact name suffix).
+measure their own trained rate model), SUST_TAG (artifact name suffix),
+SUST_COMPH (flow/residual compression height — the reference's RD knob,
+codec_processing.py:636-637; default = source height).
 """
 
 import json
@@ -44,6 +46,7 @@ W = int(os.environ.get("SUST_W", "1920"))
 CKPT = os.environ.get("SUST_CKPT", "checkpoints/demo_synthetic.ckpt")
 HYPER = os.environ.get("SUST_HYPER", "0") == "1"
 CALIB = os.environ.get("SUST_CALIB", "1") != "0"
+COMPH = int(os.environ.get("SUST_COMPH", "0")) or None
 TAG = os.environ.get("SUST_TAG", "")
 
 
@@ -63,8 +66,8 @@ def peak_device_bytes() -> int:
         return 0
 
 
-report = {"frames": N, "resolution": [W, H],
-          "checkpoint": CKPT, "hyperprior": HYPER}
+report = {"frames": N, "resolution": [W, H], "checkpoint": CKPT,
+          "hyperprior": HYPER, "compress_height": COMPH or H}
 with tempfile.TemporaryDirectory() as td:
     yuv = os.path.join(td, "in.yuv")
     t0 = time.time()
@@ -81,8 +84,8 @@ with tempfile.TemporaryDirectory() as td:
     config.input_yuv_width = W
     config.input_yuv_height = H
     config.iframe_interval = 32  # jockey.txt setting -> ~19 GOPs at 600
-    config.flow_compress_height = H
-    config.residual_compress_height = H
+    config.flow_compress_height = COMPH or H
+    config.residual_compress_height = COMPH or H
     config.decode_gop_batch = 2
     config.raft_backend = "raft"
     config.raft_checkpoint_path = "checkpoints/demo_raft.ckpt"
