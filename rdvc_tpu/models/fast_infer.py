@@ -228,9 +228,10 @@ def _prep_analysis(p: dict, dtype) -> dict:
 
 
 def _prep_synthesis(p: dict, dtype) -> dict:
-    """SynthesisTransform params -> fast tree. The LAST ConvTranspose and
-    the k5 output conv run in s2d space (sub-pixel tail); trunk ConvTranspose
-    layers keep the native lowering (measured 42% MFU — already good)."""
+    """SynthesisTransform params -> fast tree. EVERY ConvTranspose runs in
+    sub-pixel form (stride-1 conv emitting s2d space): trunk layers are
+    followed by an immediate depth_to_space; the LAST one feeds the k5
+    output conv directly in s2d space (the round-3 tail)."""
     n_up = len([k for k in p if re.fullmatch(r"ConvTransposeNormAct_\d+", k)])
     ups = [_cna_t(p[f"ConvTransposeNormAct_{i}"]) for i in range(n_up)]
     last_w, last_b = ups[-1]
@@ -244,7 +245,16 @@ def _prep_synthesis(p: dict, dtype) -> dict:
             (cast(w1), cast(b1), cast(w2), cast(b2))
             for (w1, b1), (w2, b2) in _res_blocks(p)
         ],
-        "ups": [tuple(map(cast, u)) for u in ups[:-1]],
+        # Trunk ConvTranspose layers in sub-pixel form too (round 4): the
+        # same exact rearrangement the tail uses — a stride-1 (2,2,ci,4co)
+        # conv emitting s2d space + depth_to_space. lax.conv_transpose
+        # lowers through input dilation (measured 42% MFU, round 3);
+        # plain stride-1 convs tile the MXU like the analysis convs
+        # (67% MFU) and the d2s is a fusable transpose.
+        "ups": [
+            (cast(convT_s2_weights_to_subpixel(w)[0]), cast(_tile4(b)))
+            for w, b in ups[:-1]
+        ],
         "tail": {
             "up_w": cast(uw),
             "up_b": cast(_tile4(last_b)),
@@ -348,7 +358,8 @@ def synthesis_apply(
         t = _conv(t, w2, (1, 1)) + b2
         z = act(t + z)
     for w, b in fp["ups"]:
-        z = act(_conv_transpose(z, w, b))
+        z = act(_conv(z, w, _s2d_pad(w)) + b)
+        z = depth_to_space(z)
     t = fp["tail"]
     z = act(_conv(z, t["up_w"], _s2d_pad(t["up_w"])) + t["up_b"])
     z = _conv(z, t["out_w"], _s2d_pad(t["out_w"])) + t["out_b"]
