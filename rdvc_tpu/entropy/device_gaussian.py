@@ -214,14 +214,22 @@ def _decode_bin_batch_kernel(
     ].astype(jnp.uint32)
     pos = jnp.full((Bb, S), 2, jnp.int32)
     lane = jnp.arange(S, dtype=jnp.int32)[None, :]
-    W8 = Wmax // 8
+    # 16-word fetch blocks (2 slice-gathers per 16 symbols): gather-index
+    # count is the serial cost of this kernel — see the CA kernel's
+    # blocked-window comment in device_rans.py. L is a multiple of 8, so
+    # an 8-symbol tail body covers the odd half-block.
+    BODY = 16
+    padW = (-Wmax) % BODY
+    if padW:
+        grids = jnp.pad(grids, ((0, 0), (0, padW), (0, 0)))
+    W16 = (Wmax + padW) // BODY
     W2 = (
-        grids.reshape(Bb, W8, 8, S)
+        grids.reshape(Bb, W16, BODY, S)
         .transpose(0, 1, 3, 2)
-        .reshape(Bb, W8 * S, 8)
+        .reshape(Bb, W16 * S, BODY)
     )
     kb = jnp.arange(nb, dtype=jnp.int32)[None, None, :]
-    kk16 = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+    kk32 = jnp.arange(2 * BODY, dtype=jnp.int32)[None, None, :]
     km1 = jnp.arange(M1, dtype=jnp.int32)[None, None, :]
 
     def one(carry, b_val, window, base):
@@ -243,7 +251,7 @@ def _decode_bin_batch_kernel(
         need = state < RANS16_L
         local = (pos - base)[..., None]
         word = jnp.sum(
-            jnp.where(kk16 == local, window, 0), -1, dtype=jnp.uint32
+            jnp.where(kk32 == local, window, 0), -1, dtype=jnp.uint32
         )
         state = jnp.where(need, (state << 16) | word, state)
         pos = pos + need.astype(jnp.int32)
@@ -252,26 +260,38 @@ def _decode_bin_batch_kernel(
         )
         return (state, pos), sidx + off_e
 
-    def body(carry, xs):
-        state, pos = carry
-        b_slice = xs  # (U, B, S)
-        b0 = pos >> 3
-        b1 = jnp.minimum(b0 + 1, W8 - 1)
-        f0 = jnp.take_along_axis(W2, (b0 * S + lane)[..., None], axis=1)
-        f1 = jnp.take_along_axis(W2, (b1 * S + lane)[..., None], axis=1)
-        window = jnp.concatenate([f0, f1], axis=-1).astype(jnp.uint32)
-        base = b0 << 3
-        carry = (state, pos)
-        syms = []
-        for k in range(_DEC_UNROLL):
-            carry, sym = one(carry, b_slice[k], window, base)
-            syms.append(sym)
-        return carry, jnp.stack(syms)
+    def make_body(n_sym):
+        def body(carry, xs):
+            state, pos = carry
+            b_slice = xs  # (n_sym, B, S)
+            b0 = pos >> 4
+            b1 = jnp.minimum(b0 + 1, W16 - 1)
+            f0 = jnp.take_along_axis(W2, (b0 * S + lane)[..., None], axis=1)
+            f1 = jnp.take_along_axis(W2, (b1 * S + lane)[..., None], axis=1)
+            window = jnp.concatenate([f0, f1], axis=-1).astype(jnp.uint32)
+            base = b0 << 4
+            carry = (state, pos)
+            syms = []
+            for k in range(n_sym):
+                carry, sym = one(carry, b_slice[k], window, base)
+                syms.append(sym)
+            return carry, jnp.stack(syms)
 
-    n_steps = L // _DEC_UNROLL
-    xs = bgrid_T.reshape(n_steps, _DEC_UNROLL, Bb, S)
-    (_, _), out = jax.lax.scan(body, (state, pos), xs)
-    out = out.reshape(L, Bb, S).transpose(1, 2, 0).reshape(Bb, S * L)
+        return body
+
+    n_full = L // BODY
+    tail = L - n_full * BODY                       # 0 or 8 (L % 8 == 0)
+    carry = (state, pos)
+    outs = []
+    if n_full:
+        xs = bgrid_T[: n_full * BODY].reshape(n_full, BODY, Bb, S)
+        carry, out_full = jax.lax.scan(make_body(BODY), carry, xs)
+        outs.append(out_full.reshape(n_full * BODY, Bb, S))
+    if tail:
+        _, out_tail = make_body(tail)(carry, bgrid_T[n_full * BODY :])
+        outs.append(out_tail)
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    out = out.transpose(1, 2, 0).reshape(Bb, S * L)
     return out[:, :n].astype(jnp.int32)
 
 

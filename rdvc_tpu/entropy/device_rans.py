@@ -398,7 +398,7 @@ def splice_stream_payloads(
     return out
 
 
-_DEC_UNROLL = 8
+_DEC_BODY = 16  # symbols per scan body (window = 2 16-word blocks)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "L", "hw"))
@@ -426,21 +426,27 @@ def _decode_ca_batch_kernel(
     rows_u = cdf_rows.astype(jnp.uint32)[None]  # (1, S, M)
     lane = jnp.arange(S, dtype=jnp.int32)[None, :]
     # Blocked word-window layout: per-stream read pointers advance
-    # monotonically by <=1 per symbol, so one unrolled body (_DEC_UNROLL
-    # symbols) consumes at most _DEC_UNROLL words — fetch the two 8-row
-    # blocks covering [pos, pos+8) ONCE per body (2 slice-gathers of S
-    # indices) instead of one gather per symbol (8x fewer gather indices;
-    # TPU gathers serialize per index and the per-symbol fetch was ~80% of
-    # this kernel). W2[b, blk*S + s, j] = grid[b, blk*8 + j, s].
-    W8 = Wmax // 8
+    # monotonically by <=1 per symbol, so one body of _DEC_BODY symbols
+    # consumes at most _DEC_BODY words — fetch the two 16-row blocks
+    # covering [pos, pos+16) ONCE per body (2 slice-gathers of S indices
+    # per 16 symbols). TPU gathers serialize per index, so gather-index
+    # COUNT is this kernel's cost: 16-symbol bodies halve both the index
+    # count and the scan-step count vs the original 8-symbol bodies.
+    # W2[b, blk*S + s, j] = grid[b, blk*16 + j, s]. Payload L is a
+    # multiple of 8 (format _UNROLL), not 16: an 8-symbol tail body
+    # handles the odd half-block.
+    padW = (-Wmax) % _DEC_BODY
+    if padW:
+        grids = jnp.pad(grids, ((0, 0), (0, padW), (0, 0)))
+    W16 = (Wmax + padW) // _DEC_BODY
     W2 = (
-        grids.reshape(Bb, W8, 8, S)
+        grids.reshape(Bb, W16, _DEC_BODY, S)
         .transpose(0, 1, 3, 2)
-        .reshape(Bb, W8 * S, 8)
+        .reshape(Bb, W16 * S, _DEC_BODY)
     )
-    kk16 = jnp.arange(16, dtype=jnp.int32)[None, None, :]  # (1, 1, 16)
+    kk32 = jnp.arange(2 * _DEC_BODY, dtype=jnp.int32)[None, None, :]
 
-    def one(carry, window, base, t):
+    def one(carry, window, base):
         state, pos = carry
         cum = (state & 0xFFFF).astype(jnp.uint32)  # (B, S)
         ge = rows_u <= cum[..., None]              # (B, S, M)
@@ -461,41 +467,53 @@ def _decode_ca_batch_kernel(
         freq = nxt - start
         state = freq * (state >> 16) + cum - start
         need = state < RANS16_L
-        # select the current word from the 16-word window (VPU one-hot)
-        local = (pos - base)[..., None]            # (B, S, 1) in [0, 16)
+        # select the current word from the 32-word window (VPU one-hot)
+        local = (pos - base)[..., None]          # (B, S, 1) in [0, 32)
         word = jnp.sum(
-            jnp.where(kk16 == local, window, 0), -1, dtype=jnp.uint32
+            jnp.where(kk32 == local, window, 0), -1, dtype=jnp.uint32
         )
         state = jnp.where(need, (state << 16) | word, state)
         pos = pos + need.astype(jnp.int32)
         return (state, pos), sidx
 
-    def body(carry, i):
-        state, pos = carry
-        # Fetch the two 8-row blocks covering this body's word window
-        # [pos, pos+8): 2 slice-gathers (S indices each) per 8 symbols.
-        b0 = pos >> 3                              # (B, S)
-        b1 = jnp.minimum(b0 + 1, W8 - 1)
-        f0 = jnp.take_along_axis(
-            W2, (b0 * S + lane)[..., None], axis=1
-        )                                          # (B, S, 8)
-        f1 = jnp.take_along_axis(
-            W2, (b1 * S + lane)[..., None], axis=1
-        )
-        window = jnp.concatenate([f0, f1], axis=-1).astype(jnp.uint32)
-        base = b0 << 3                             # window row origin
-        carry = (state, pos)
-        syms = []
-        for k in range(_DEC_UNROLL):
-            carry, sym = one(carry, window, base, i * _DEC_UNROLL + k)
-            syms.append(sym)
-        return carry, jnp.stack(syms)              # (U, B, S)
+    def make_body(n_sym):
+        def body(carry, _):
+            state, pos = carry
+            # Fetch the two 16-row blocks covering this body's word window
+            # [pos, pos+16): 2 slice-gathers (S indices each).
+            b0 = pos >> 4                          # (B, S)
+            b1 = jnp.minimum(b0 + 1, W16 - 1)
+            f0 = jnp.take_along_axis(
+                W2, (b0 * S + lane)[..., None], axis=1
+            )                                      # (B, S, 16)
+            f1 = jnp.take_along_axis(
+                W2, (b1 * S + lane)[..., None], axis=1
+            )
+            window = jnp.concatenate([f0, f1], axis=-1).astype(jnp.uint32)
+            base = b0 << 4                         # window row origin
+            carry = (state, pos)
+            syms = []
+            for _k in range(n_sym):
+                carry, sym = one(carry, window, base)
+                syms.append(sym)
+            return carry, jnp.stack(syms)          # (n_sym, B, S)
 
-    n_steps = L // _DEC_UNROLL
-    (_, _), out = jax.lax.scan(
-        body, (state, pos), jnp.arange(n_steps, dtype=jnp.int32)
-    )                                               # (n_steps, U, B, S)
-    out = out.reshape(L, Bb, S) + offs_s[None, None, :]
+        return body
+
+    n_full = L // _DEC_BODY
+    tail = L - n_full * _DEC_BODY                   # 0 or 8 (L % 8 == 0)
+    carry = (state, pos)
+    outs = []
+    if n_full:
+        carry, out_full = jax.lax.scan(
+            make_body(_DEC_BODY), carry, None, length=n_full
+        )                                           # (n_full, BODY, B, S)
+        outs.append(out_full.reshape(n_full * _DEC_BODY, Bb, S))
+    if tail:
+        _, out_tail = make_body(tail)(carry, None)  # (tail, B, S)
+        outs.append(out_tail)
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    out = out + offs_s[None, None, :]
     # (L, B, S=C*K) -> (B, C, K*L) -> crop pixel padding -> (B, hw, C)
     out = out.transpose(1, 2, 0).reshape(Bb, C, K * L)[:, :, :hw]
     return out.transpose(0, 2, 1).astype(jnp.int32)

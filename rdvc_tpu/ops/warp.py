@@ -49,14 +49,15 @@ def bilinear_warp(
             f"image {image.shape} and flow {flow.shape} spatial mismatch"
         )
     B, H, W, C = image.shape
-    if (impl or _warp_impl()) == "tiled":
+    sel = impl or _warp_impl()
+    if sel in ("tiled", "planar"):
         from rdvc_tpu.ops.warp_tiled import (
             bilinear_warp_tiled,
             warp_tiled_supported,
         )
 
         if warp_tiled_supported(image.shape):
-            return bilinear_warp_tiled(image, flow)
+            return bilinear_warp_tiled(image, flow, planar=sel == "planar")
     orig_dtype = image.dtype
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)

@@ -48,8 +48,8 @@ def _tile_means(disp: jax.Array, nty: int, ntx: int) -> jax.Array:
     return jnp.round(t.mean(axis=(2, 4))).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
-def _warp_tiled_impl(image, fx, fy, out_dtype):
+@functools.partial(jax.jit, static_argnames=("out_dtype", "planar"))
+def _warp_tiled_impl(image, fx, fy, out_dtype, planar=False):
     B, H, W, C = image.shape
     nty, ntx = H // _TH, W // _TW
     T = nty * ntx
@@ -89,44 +89,86 @@ def _warp_tiled_impl(image, fx, fy, out_dtype):
     lx = jnp.clip(to_tiles(x0i) - sx_fl[:, None], 0, _WW - 1)
     ly = jnp.clip(to_tiles(y0i) - sy_fl[:, None], 0, _WH - 1)
 
-    img2d = image.astype(jnp.bfloat16).reshape(B, H, W * C)
+    P = _TH * _TW
     bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), T)
 
-    P = _TH * _TW
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (P, _WW), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, _WH), 1)
+    if planar:
+        # Planar layout: every intermediate keeps P=256 (or WW/WH) as the
+        # minor dim. The channel-minor formulation below materializes
+        # (K, P, WH, C) picks whose C=3 minor dim pads to 128 lanes —
+        # ~40x the useful bytes (the CLAUDE.md gather-balloon gotcha, in
+        # matmul-output form). Here picks are (K, C, WH, P): clean tiles,
+        # no transposed operands inside the matmuls.
+        img_pl = image.astype(jnp.bfloat16).transpose(0, 3, 1, 2)
+        col_iota_p = jax.lax.broadcasted_iota(jnp.int32, (_WW, P), 0)
+        row_iota_p = jax.lax.broadcasted_iota(jnp.int32, (_WH, P), 0)
 
-    def chunk_fn(args):
-        b_c, sy_c, sx_c, lx_c, ly_c, wx_c, wy_c = args  # (K,) ... (K, P)
+        def chunk_fn(args):
+            b_c, sy_c, sx_c, lx_c, ly_c, wx_c, wy_c = args
 
-        def fetch(b, s_y, s_x):
-            w = jax.lax.dynamic_slice(
-                img2d, (b, s_y, s_x * C), (1, _WH, _WW * C)
+            def fetch(b, s_y, s_x):
+                w = jax.lax.dynamic_slice(
+                    img_pl, (b, 0, s_y, s_x), (1, C, _WH, _WW)
+                )
+                return w.reshape(C, _WH, _WW)
+
+            wnd = jax.vmap(fetch)(b_c, sy_c, sx_c)  # (K, C, WH, WW)
+
+            cx0 = (col_iota_p[None] == lx_c[:, None, :]).astype(jnp.bfloat16)
+            lx1 = jnp.minimum(lx_c + 1, _WW - 1)
+            cx1 = (col_iota_p[None] == lx1[:, None, :]).astype(jnp.bfloat16)
+            dn = (((3,), (1,)), ((0,), (0,)))  # contract WW, batch K
+            pickA = jax.lax.dot_general(
+                wnd, cx0, dn, preferred_element_type=jnp.float32
+            )  # (K, C, WH, P)
+            pickB = jax.lax.dot_general(
+                wnd, cx1, dn, preferred_element_type=jnp.float32
             )
-            return w.reshape(_WH, _WW, C)
+            top_bot = pickA + (pickB - pickA) * wx_c[:, None, None, :]
+            cy0 = (row_iota_p[None] == ly_c[:, None, :]).astype(jnp.float32)
+            ly1 = jnp.minimum(ly_c + 1, _WH - 1)
+            cy1 = (row_iota_p[None] == ly1[:, None, :]).astype(jnp.float32)
+            top = jnp.sum(top_bot * cy0[:, None], axis=2)   # (K, C, P)
+            bot = jnp.sum(top_bot * cy1[:, None], axis=2)
+            out = top + (bot - top) * wy_c[:, None, :]
+            return out.transpose(0, 2, 1)  # (K, P, C)
 
-        wnd = jax.vmap(fetch)(b_c, sy_c, sx_c)  # (K, WH, WW, C)
+    else:
+        img2d = image.astype(jnp.bfloat16).reshape(B, H, W * C)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (P, _WW), 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, _WH), 1)
 
-        cx0 = (lx_c[:, :, None] == col_iota[None]).astype(jnp.bfloat16)
-        lx1 = jnp.minimum(lx_c + 1, _WW - 1)
-        cx1 = (lx1[:, :, None] == col_iota[None]).astype(jnp.bfloat16)
-        # Column picks on the MXU: (K, P, WW) @ (K, WH, WW, C).
-        pickA = jnp.einsum(
-            "kpx,kyxc->kpyc", cx0, wnd,
-            preferred_element_type=jnp.float32,
-        )
-        pickB = jnp.einsum(
-            "kpx,kyxc->kpyc", cx1, wnd,
-            preferred_element_type=jnp.float32,
-        )
-        # Horizontal lerp first (fuses with the picks), then the row picks.
-        top_bot = pickA + (pickB - pickA) * wx_c[:, :, None, None]
-        cy0 = (ly_c[:, :, None] == row_iota[None]).astype(jnp.float32)
-        ly1 = jnp.minimum(ly_c + 1, _WH - 1)
-        cy1 = (ly1[:, :, None] == row_iota[None]).astype(jnp.float32)
-        top = jnp.einsum("kpy,kpyc->kpc", cy0, top_bot)
-        bot = jnp.einsum("kpy,kpyc->kpc", cy1, top_bot)
-        return top + (bot - top) * wy_c[:, :, None]
+        def chunk_fn(args):
+            b_c, sy_c, sx_c, lx_c, ly_c, wx_c, wy_c = args  # (K,) ... (K, P)
+
+            def fetch(b, s_y, s_x):
+                w = jax.lax.dynamic_slice(
+                    img2d, (b, s_y, s_x * C), (1, _WH, _WW * C)
+                )
+                return w.reshape(_WH, _WW, C)
+
+            wnd = jax.vmap(fetch)(b_c, sy_c, sx_c)  # (K, WH, WW, C)
+
+            cx0 = (lx_c[:, :, None] == col_iota[None]).astype(jnp.bfloat16)
+            lx1 = jnp.minimum(lx_c + 1, _WW - 1)
+            cx1 = (lx1[:, :, None] == col_iota[None]).astype(jnp.bfloat16)
+            # Column picks on the MXU: (K, P, WW) @ (K, WH, WW, C).
+            pickA = jnp.einsum(
+                "kpx,kyxc->kpyc", cx0, wnd,
+                preferred_element_type=jnp.float32,
+            )
+            pickB = jnp.einsum(
+                "kpx,kyxc->kpyc", cx1, wnd,
+                preferred_element_type=jnp.float32,
+            )
+            # Horizontal lerp first (fuses with the picks), then row picks.
+            top_bot = pickA + (pickB - pickA) * wx_c[:, :, None, None]
+            cy0 = (ly_c[:, :, None] == row_iota[None]).astype(jnp.float32)
+            ly1 = jnp.minimum(ly_c + 1, _WH - 1)
+            cy1 = (ly1[:, :, None] == row_iota[None]).astype(jnp.float32)
+            top = jnp.einsum("kpy,kpyc->kpc", cy0, top_bot)
+            bot = jnp.einsum("kpy,kpyc->kpc", cy1, top_bot)
+            return top + (bot - top) * wy_c[:, :, None]
 
     BT = B * T
     pad = (-BT) % _CHUNK
@@ -154,7 +196,9 @@ def warp_tiled_supported(shape) -> bool:
     return H % _TH == 0 and W % _TW == 0 and H * W >= 256 * 256
 
 
-def bilinear_warp_tiled(image: jax.Array, flow: jax.Array) -> jax.Array:
+def bilinear_warp_tiled(
+    image: jax.Array, flow: jax.Array, planar: bool = False
+) -> jax.Array:
     """Drop-in for ops/warp.py `bilinear_warp` on tile-aligned shapes."""
     if image.ndim != 4 or flow.ndim != 4 or flow.shape[-1] != 2:
         raise ValueError(f"bad shapes image={image.shape} flow={flow.shape}")
@@ -171,4 +215,4 @@ def bilinear_warp_tiled(image: jax.Array, flow: jax.Array) -> jax.Array:
         fx = jnp.zeros_like(fx)
     if H <= 1:
         fy = jnp.zeros_like(fy)
-    return _warp_tiled_impl(image, fx, fy, image.dtype)
+    return _warp_tiled_impl(image, fx, fy, image.dtype, planar)

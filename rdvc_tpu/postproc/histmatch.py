@@ -11,6 +11,8 @@ interpolation + a 256-entry LUT gather.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 
@@ -38,26 +40,41 @@ def ycrcb_to_rgb(ycrcb: jax.Array) -> jax.Array:
 
 
 _HIST_CHUNK = 65536
+_N16 = 16
+
+
+def _nibble_onehots(chunk: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
+    """(C,) int32 -> ((C,16), (C,16)) one-hots of the high/low nibbles.
+    Padding values of -1 yield an all-zero high row (-1 >> 4 == -1), so
+    padded elements contribute nothing to nibble products."""
+    n16 = jnp.arange(_N16, dtype=chunk.dtype)
+    hi = (chunk >> 4)[:, None] == n16[None, :]
+    lo = (chunk & 15)[:, None] == n16[None, :]
+    return hi.astype(dtype), lo.astype(dtype)
 
 
 def _histogram_256(q: jax.Array) -> jax.Array:
     """Scatter-free 256-bin histogram of int32 values in [0, 255].
 
-    TPU scatter-adds serialize; a scan over comparison chunks keeps the
-    whole reduction on the VPU (each step: (chunk, 256) equality matrix
-    summed over the chunk axis).
+    TPU scatter-adds serialize, and a dense 256-wide equality matrix is
+    256 VPU ops/element. Nibble decomposition cuts that to 32:
+    hist[bh*16+bl] = sum_i onehot_hi[i,bh] * onehot_lo[i,bl] — a (16,16)
+    outer-product contraction over elements that rides the MXU. Exact:
+    0/1 one-hots are exact in bf16 and the MXU accumulates in float32
+    (counts stay < 2^24).
     """
     n = q.shape[0]
     pad = (-n) % _HIST_CHUNK
     qp = jnp.pad(q, (0, pad), constant_values=-1)  # -1 hits no bin
     chunks = qp.reshape(-1, _HIST_CHUNK)
-    bins = jnp.arange(_BINS, dtype=q.dtype)
 
     def body(acc, chunk):
-        acc = acc + jnp.sum(
-            (chunk[:, None] == bins[None, :]).astype(jnp.float32), axis=0
-        )
-        return acc, None
+        oh_hi, oh_lo = _nibble_onehots(chunk, jnp.bfloat16)
+        h2 = jax.lax.dot_general(
+            oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (16, 16): [bh, bl]
+        return acc + h2.reshape(_BINS), None
 
     hist, _ = jax.lax.scan(body, jnp.zeros(_BINS, jnp.float32), chunks)
     return hist
@@ -109,19 +126,24 @@ def _match_channel(src: jax.Array, tmpl: jax.Array) -> jax.Array:
 
 def _apply_lut(lut: jax.Array, q: jax.Array) -> jax.Array:
     """lut[q] without a gather: data-dependent gathers serialize per index
-    on TPU (~20 ns/index — measured 87 ms/frame for this stage at 1080p);
-    a chunked one-hot comparison-sum is pure VPU work (~1 ms/frame)."""
+    on TPU (~20 ns/index — measured 87 ms/frame for this stage at 1080p).
+    Nibble decomposition instead of a dense 256-wide one-hot select:
+    tmp[i, bh] = lut2d[bh, lo_i] via a (C,16)@(16,16) matmul (HIGHEST
+    precision — one-hot rows select float32 LUT entries to ~1 ulp), then
+    a 16-wide masked sum picks the high-nibble row: ~32 ops/element
+    instead of 256."""
     n = q.shape[0]
     pad = (-n) % _HIST_CHUNK
     qp = jnp.pad(q, (0, pad), constant_values=0)
     chunks = qp.reshape(-1, _HIST_CHUNK)
-    bins = jnp.arange(_BINS, dtype=q.dtype)
+    lut2d_t = lut.reshape(_N16, _N16).T  # [bl, bh]
 
     def body(_, chunk):
-        onehot = chunk[:, None] == bins[None, :]
-        return None, jnp.sum(
-            jnp.where(onehot, lut[None, :], 0.0), axis=1
-        )
+        oh_hi, oh_lo = _nibble_onehots(chunk, jnp.float32)
+        tmp = jnp.dot(
+            oh_lo, lut2d_t, precision=jax.lax.Precision.HIGHEST
+        )  # (C, 16): tmp[i, bh] = lut[bh*16 + lo_i]
+        return None, jnp.sum(oh_hi * tmp, axis=1)
 
     _, out = jax.lax.scan(body, None, chunks)
     return out.reshape(-1)[:n]

@@ -521,7 +521,28 @@ class Trainer:
         probe = dataset[0]
         seq_data = len(probe) == 2 and np.ndim(probe[0]) == 4
         iterator = sequence_batch_iterator if seq_data else batch_iterator
+        stop_file = os.environ.get("RDVC_STOP_FILE") or (
+            os.path.join(cfg.checkpoint_dir, "STOP")
+            if cfg.checkpoint_dir else ""
+        )
+        ran_epochs = 0
         for epoch in range(state.epoch, num_epochs + 1):
+            if stop_file and os.path.exists(stop_file):
+                # Graceful early stop at an epoch boundary (the relay wedges
+                # on mid-dispatch kills — see CLAUDE.md): the latest epoch is
+                # already checkpointed by save() below / the previous pass.
+                # A stop file that predates the FIRST epoch means this
+                # process was parked before it trained anything (e.g. a
+                # hung relay client being retired): abort loudly so the
+                # caller does not save untrained weights over real ones.
+                if ran_epochs == 0:
+                    raise RuntimeError(
+                        f"stop file {stop_file} present before any epoch "
+                        "ran; aborting fit (nothing trained)"
+                    )
+                log.info("stop file %s present; ending fit early at epoch "
+                         "%d", stop_file, epoch)
+                break
             state = self.maybe_reconfigure(state, epoch)
             phase = phase_for_epoch(cfg, epoch)
             t0 = time.time()
@@ -558,6 +579,7 @@ class Trainer:
                         "real bitstream: %s",
                         self.real_bitstream_check(state, batch),
                     )
+            ran_epochs += 1
             log.info(
                 "epoch %d done in %.1fs: %s",
                 epoch,

@@ -52,14 +52,17 @@ def log(name, val):
 
 
 def _perturb(inputs, y):
-    """Fold a zero-valued, data-dependent scalar into every input leaf."""
+    """Fold a zero-valued, data-dependent scalar into every input leaf
+    (floating AND integer — all-integer stages would otherwise be
+    loop-invariant and hoistable)."""
     s = jnp.sum(y.astype(jnp.float32)) * jnp.float32(0.0)
-    return jax.tree_util.tree_map(
-        lambda a: a + s.astype(a.dtype) if jnp.issubdtype(
-            a.dtype, jnp.floating
-        ) else a,
-        inputs,
-    )
+    def add(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return a + s.astype(a.dtype)
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            return a + s.astype(jnp.int32).astype(a.dtype)
+        return a
+    return jax.tree_util.tree_map(add, inputs)
 
 
 def inloop_ms_per_frame(name, fn, inputs, frames_per_call=None):
@@ -169,6 +172,10 @@ inloop_ms_per_frame(
     (img, flow),
 )
 inloop_ms_per_frame(
+    "warp_planar_1080p", lambda i, f: bilinear_warp(i, f, impl="planar"),
+    (img, flow),
+)
+inloop_ms_per_frame(
     "warp_flat_1080p", lambda i, f: bilinear_warp(i, f, impl="flat"),
     (img, flow),
 )
@@ -212,5 +219,35 @@ from rdvc_tpu.postproc.histmatch import histogram_match_ycrcb
 inloop_ms_per_frame(
     "histmatch_1080p", histogram_match_ycrcb, (img, f32(B, H, W, 3)),
 )
+
+# -------------------------------------------------- device entropy kernels
+# Decode cost is data-independent (comparison-sums + masked selects; no
+# data-dependent control flow), so random word grids time the real kernel.
+from rdvc_tpu.entropy.device_rans import (
+    DeviceRansDecoder,
+    _bucket,
+    _decode_ca_batch_kernel,
+    ca_layout,
+)
+
+hl, wl = H // 8, W // 8
+hw = hl * wl
+for name, channels, tables in (
+    ("dev_rans_dec_motion", rt.model_config.motion_latent_channels,
+     rt.motion_tables),
+    ("dev_rans_dec_residual", rt.model_config.residual_latent_channels,
+     rt.residual_tables),
+):
+    K, S, L = ca_layout(channels, hw)
+    rows, offs_s, _K = DeviceRansDecoder(tables)._ca_rows(S)
+    Wmax = _bucket(L // 2 + 2)
+    grid = jax.device_put(
+        rng.randint(0, 1 << 16, (B, Wmax, S)).astype(np.uint16)
+    )
+
+    def _dec(g, r, o, K=K, L=L):
+        return _decode_ca_batch_kernel(g, r, o, K, L, hw)
+
+    inloop_ms_per_frame(name, _dec, (grid, rows, offs_s))
 
 print(json.dumps(report))

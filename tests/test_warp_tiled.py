@@ -18,11 +18,18 @@ def _image(b=2, seed=0):
 
 def _check(flow, atol=2e-2):
     img = _image()
-    ref = np.asarray(bilinear_warp(img, flow))
+    # impl="flat" pins the per-pixel-gather reference explicitly (the
+    # default impl IS the tiled path — comparing against it is vacuous).
+    ref = np.asarray(bilinear_warp(img, flow, impl="flat"))
     out = np.asarray(bilinear_warp_tiled(img, flow))
     # Taps are bf16-rounded in the tiled path (one-hot picks are exact,
     # values are bf16): tolerance is bf16 resolution on [0,1] data.
     np.testing.assert_allclose(out, ref, atol=atol)
+    # The planar layout variant computes the identical pick/lerp
+    # arithmetic in (C-major) tiles: it must match the tiled path to
+    # float rounding.
+    pl = np.asarray(bilinear_warp_tiled(img, flow, planar=True))
+    np.testing.assert_allclose(pl, out, atol=1e-5)
 
 
 def test_zero_flow_identity():
