@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-4 post-ladder measurement queue (run AFTER scripts/ladder_r04.sh
+# completes, serially, with the host core otherwise QUIET — see CLAUDE.md:
+# a first readback started under CPU load can wedge forever, and timed
+# runs share the single core with nothing).
+#
+#   1. in-graph stage attribution (profile_inloop: true kernel costs +
+#      planar-vs-tiled warp A/B + entropy-kernel timings)
+#   2. matched-rate sustained run (VERDICT r3 item #4a: rate_l3 at the
+#      reference's ~2.8 bpp operating point, 600 frames, interval 32)
+#   3. pick checkpoints/bench_hyper.ckpt from the hyper ladder (bpp
+#      closest to 0.4 at 1080p comp-res in rd_r04.json; escape-free
+#      device-coding regime) and smoke bench.py with it
+#
+# Usage: nohup bash scripts/post_ladder_r04.sh > benchmarks/post_ladder_r04.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+echo "== [$(date +%T)] profile_inloop =="
+timeout 3600 python scripts/profile_inloop.py benchmarks/profile_inloop_r04.json \
+  || echo "profile_inloop FAILED"
+
+echo "== [$(date +%T)] matched-rate sustained (rate_l3) =="
+SUST_CKPT=checkpoints/rate_l3.ckpt SUST_CALIB=0 SUST_TAG=matchedrate_r04 \
+  timeout 5400 python scripts/sustained_run.py || echo "sustained FAILED"
+
+echo "== [$(date +%T)] pick bench_hyper.ckpt =="
+python - <<'EOF'
+import json, shutil, os
+try:
+    rd = json.load(open("benchmarks/rd_r04.json"))["results"]
+except Exception as e:
+    print("no rd_r04.json:", e); raise SystemExit(0)
+best, best_d = None, 1e9
+for name, rows in rd.items():
+    if not name.startswith("rate_hp_"):
+        continue
+    for r in rows:
+        if r["compress_height"] == 1080:
+            d = abs(r["bpp"] - 0.4)
+            if d < best_d:
+                best, best_d = name, d
+if best:
+    src = f"checkpoints/{best}.ckpt"
+    shutil.copyfile(src, "checkpoints/bench_hyper.ckpt")
+    print("bench_hyper.ckpt <-", src)
+else:
+    print("no hyper rate points found in rd_r04.json")
+EOF
+
+echo "== [$(date +%T)] bench smoke =="
+timeout 7200 python bench.py | tee benchmarks/bench_r04_selfrun.json \
+  || echo "bench FAILED"
+echo "== [$(date +%T)] post-ladder queue complete =="
