@@ -197,4 +197,64 @@ def upd(h):
 t = per_iter_ms(upd, hidden)
 log("update_block_1it", {"ms": t, "ms_per_frame": t / B})
 
+# ---- update-block decomposition (motion encoder / GRU / heads) ----
+motion_in = jax.device_put(rng.rand(B, h8, w8, 128).astype(np.float32))
+gru_x = jax.device_put(rng.rand(B, h8, w8, 256).astype(np.float32))
+
+
+def menc(f):
+    return model.apply(
+        variables, f, corr,
+        method=lambda mm, a, b: mm.update_block.encoder(a, b),
+    )
+
+
+t = per_iter_ms(menc, flow0)
+log("upd_motion_encoder", {"ms": t, "ms_per_frame": t / B})
+
+
+def gru(h):
+    return model.apply(
+        variables, h, gru_x,
+        method=lambda mm, a, b: mm.update_block.gru(a, b),
+    )
+
+
+t = per_iter_ms(gru, hidden)
+log("upd_gru", {"ms": t, "ms_per_frame": t / B})
+
+
+def heads(h):
+    return model.apply(
+        variables, h,
+        method=lambda mm, a: mm.update_block.flow_head(a)
+        + 0.0 * mm.update_block.mask_head(a)[..., :2],
+    )
+
+
+t = per_iter_ms(heads, hidden)
+log("upd_flow_mask_heads", {"ms": t, "ms_per_frame": t / B})
+
+# ---- corr lookup alone (pyramid held loop-invariant, coords perturbed) ----
+from rdvc_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+
+fm1 = jax.device_put(rng.rand(B, h8, w8, 256).astype(np.float32)).astype(
+    jnp.bfloat16
+)
+fm2 = jax.device_put(rng.rand(B, h8, w8, 256).astype(np.float32)).astype(
+    jnp.bfloat16
+)
+pyr = build_corr_pyramid(fm1, fm2, 4)
+coords = jax.device_put(
+    (rng.rand(B, h8, w8, 2) * 8).astype(np.float32)
+)
+
+
+def lookup(c):
+    return corr_lookup(pyr, c, 4)
+
+
+t = per_iter_ms(lookup, coords)
+log("upd_corr_lookup", {"ms": t, "ms_per_frame": t / B})
+
 print(json.dumps(report))
