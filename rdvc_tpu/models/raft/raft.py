@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from rdvc_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
 from rdvc_tpu.models.raft.encoders import RaftEncoder
+from rdvc_tpu.models.raft.fast_update import fused_update_step
 from rdvc_tpu.models.raft.update import UpdateBlock, convex_upsample
 
 
@@ -36,6 +37,9 @@ class RAFT(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     # Fused Pallas correlation kernel (TPU only; see pallas_corr.py)
     use_pallas_corr: bool = False
+    # Inference-only fused update block (exact conv fusions; fast_update.py).
+    # Training and `init` always run the flax modules.
+    fused_update: bool = False
 
     def setup(self):
         self.fnet = RaftEncoder(
@@ -117,10 +121,19 @@ class RAFT(nn.Module):
         # cannot be applied inside a raw lax.scan body.
         flow = jnp.zeros((B, h8, w8, 2), jnp.float32)
         ups = []
+        fused = self.fused_update and not self.is_initializing()
         for _ in range(self.iters):
             coords = coords0 + flow
             corr = corr_lookup(pyramid, coords, self.radius)
-            hidden, delta, mask = self.update_block(hidden, context, corr, flow)
+            if fused:
+                hidden, delta, mask = fused_update_step(
+                    self.update_block.variables["params"],
+                    hidden, context, corr, flow, self.compute_dtype,
+                )
+            else:
+                hidden, delta, mask = self.update_block(
+                    hidden, context, corr, flow
+                )
             flow = flow + delta
             if return_all:
                 ups.append(convex_upsample(flow, mask))
@@ -159,7 +172,10 @@ class RaftRunner:
         seed: int = 0,
         spatial: Tuple[int, int] = (368, 640),
     ):
-        self.model = RAFT(iters=iters)
+        import os
+
+        fused = os.environ.get("RDVC_RAFT_FUSED", "1") != "0"
+        self.model = RAFT(iters=iters, fused_update=fused)
         if variables is None:
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
             variables = self.model.init(
