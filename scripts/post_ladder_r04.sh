@@ -4,29 +4,45 @@
 # a first readback started under CPU load can wedge forever, and timed
 # runs share the single core with nothing).
 #
-#   1. in-graph stage attribution (profile_inloop: true kernel costs +
+#   1. RAFT micro-profile (fused update-block A/B vs flax)
+#   2. in-graph stage attribution (profile_inloop: true kernel costs +
 #      planar-vs-tiled warp A/B + entropy-kernel timings)
-#   2. matched-rate sustained run (VERDICT r3 item #4a: rate_l3 at the
+#   3. matched-rate sustained run (VERDICT r3 item #4a: rate_l3 at the
 #      reference's ~2.8 bpp operating point, 600 frames, interval 32)
-#   3. pick checkpoints/bench_hyper.ckpt from the hyper ladder (bpp
+#   4. sequence-unrolled fine-tune of rate_l3 (VERDICT r3 item #4b) and a
+#      second sustained run with it (drift damping evidence)
+#   5. pick checkpoints/bench_hyper.ckpt from the hyper ladder (bpp
 #      closest to 0.4 at 1080p comp-res in rd_r04.json; escape-free
-#      device-coding regime) and smoke bench.py with it
+#      device-coding regime) and self-run bench.py (banked artifact with
+#      fps + bpp + PSNR + comp-height ladder + hyper row)
+#   6. short RSS probe (VERDICT r3 item #7)
 #
 # Usage: nohup bash scripts/post_ladder_r04.sh > benchmarks/post_ladder_r04.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 
-echo "== [$(date +%T)] profile_inloop =="
-timeout 3600 python scripts/profile_inloop.py benchmarks/profile_inloop_r04.json \
-  || echo "profile_inloop FAILED"
-
 echo "== [$(date +%T)] profile_raft_micro =="
 timeout 2400 python scripts/profile_raft_micro.py benchmarks/profile_raft_micro_r04.json \
   || echo "profile_raft_micro FAILED"
 
+echo "== [$(date +%T)] profile_inloop =="
+timeout 2700 python scripts/profile_inloop.py benchmarks/profile_inloop_r04.json \
+  || echo "profile_inloop FAILED"
+
 echo "== [$(date +%T)] matched-rate sustained (rate_l3) =="
 SUST_CKPT=checkpoints/rate_l3.ckpt SUST_CALIB=0 SUST_TAG=matchedrate_r04 \
-  timeout 5400 python scripts/sustained_run.py || echo "sustained FAILED"
+  timeout 3600 python scripts/sustained_run.py || echo "sustained FAILED"
+
+echo "== [$(date +%T)] sequence fine-tune (rate_l3 -> rate_l3_seq) =="
+timeout 2700 python scripts/train_sequence_finetune.py \
+  --base checkpoints/rate_l3.ckpt --epochs 8 \
+  || echo "seq finetune FAILED"
+
+if [ -f checkpoints/rate_l3_seq.ckpt ]; then
+  echo "== [$(date +%T)] sustained with the sequence fine-tune =="
+  SUST_CKPT=checkpoints/rate_l3_seq.ckpt SUST_CALIB=0 SUST_TAG=seqft_r04 \
+    timeout 3600 python scripts/sustained_run.py || echo "sustained-seq FAILED"
+fi
 
 echo "== [$(date +%T)] pick bench_hyper.ckpt =="
 python - <<'EOF'
@@ -56,7 +72,12 @@ else:
     print("no hyper rate checkpoints exist; bench hyper row will skip")
 EOF
 
-echo "== [$(date +%T)] bench smoke =="
-timeout 7200 python bench.py | tee benchmarks/bench_r04_selfrun.json \
+echo "== [$(date +%T)] bench self-run =="
+timeout 5400 python bench.py | tee benchmarks/bench_r04_selfrun.json \
   || echo "bench FAILED"
+
+echo "== [$(date +%T)] rss probe =="
+timeout 1800 python scripts/rss_probe.py --segments 2 --steps 4 \
+  || echo "rss probe FAILED"   # writes benchmarks/rss_probe.json
+
 echo "== [$(date +%T)] post-ladder queue complete =="

@@ -235,6 +235,37 @@ def heads(h):
 t = per_iter_ms(heads, hidden)
 log("upd_flow_mask_heads", {"ms": t, "ms_per_frame": t / B})
 
+# ---- fused update block (fast_update.py exact conv fusions) A/B ----
+from rdvc_tpu.models.raft.fast_update import fused_update_step
+from rdvc_tpu.models.raft.raft import RAFT
+
+upd_params = variables["params"]["update_block"]
+
+
+def upd_fused(h):
+    nh, d, m = fused_update_step(upd_params, h, context, corr, flow0)
+    return nh
+
+
+t = per_iter_ms(upd_fused, hidden)
+log("update_block_1it_fused", {"ms": t, "ms_per_frame": t / B})
+
+
+def raft4_fused(x):
+    m4 = RAFT(iters=4, fused_update=True)
+    return m4.apply(variables, x, x, train=False)
+
+
+def raft4_flax(x):
+    m4 = RAFT(iters=4, fused_update=False)
+    return m4.apply(variables, x, x, train=False)
+
+
+t = per_iter_ms(raft4_fused, xf)
+log("raft4_fused_368x640", {"ms": t, "ms_per_frame": t / B})
+t = per_iter_ms(raft4_flax, xf)
+log("raft4_flax_368x640", {"ms": t, "ms_per_frame": t / B})
+
 # ---- corr lookup alone (pyramid held loop-invariant, coords perturbed) ----
 from rdvc_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
 
