@@ -4,45 +4,24 @@
 # a first readback started under CPU load can wedge forever, and timed
 # runs share the single core with nothing).
 #
-#   1. RAFT micro-profile (fused update-block A/B vs flax)
-#   2. in-graph stage attribution (profile_inloop: true kernel costs +
-#      planar-vs-tiled warp A/B + entropy-kernel timings)
-#   3. matched-rate sustained run (VERDICT r3 item #4a: rate_l3 at the
-#      reference's ~2.8 bpp operating point, 600 frames, interval 32)
-#   4. sequence-unrolled fine-tune of rate_l3 (VERDICT r3 item #4b) and a
-#      second sustained run with it (drift damping evidence)
-#   5. pick checkpoints/bench_hyper.ckpt from the hyper ladder (bpp
+#   1. pick checkpoints/bench_hyper.ckpt from the hyper ladder (bpp
 #      closest to 0.4 at 1080p comp-res in rd_r04.json; escape-free
-#      device-coding regime) and self-run bench.py (banked artifact with
-#      fps + bpp + PSNR + comp-height ladder + hyper row)
-#   6. short RSS probe (VERDICT r3 item #7)
+#      device-coding regime) — FIRST so the driver's own bench run gets
+#      the hyper row even if later steps are cut for time
+#   2. RAFT micro-profile (fused update-block A/B vs flax)
+#   3. in-graph stage attribution (profile_inloop: true kernel costs +
+#      planar-vs-tiled warp A/B + entropy-kernel timings)
+#   4. matched-rate sustained run (VERDICT r3 item #4a: rate_l3 at the
+#      reference's ~2.8 bpp operating point, 600 frames, interval 32)
+#   5. bench self-run (banked artifact with fps + bpp + PSNR +
+#      comp-height ladder + hyper row)
+#   6. sequence-unrolled fine-tune of rate_l3 (VERDICT r3 item #4b) and a
+#      second sustained run with it (drift damping evidence)
+#   7. short RSS probe (VERDICT r3 item #7)
 #
 # Usage: nohup bash scripts/post_ladder_r04.sh > benchmarks/post_ladder_r04.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
-
-echo "== [$(date +%T)] profile_raft_micro =="
-timeout 2400 python scripts/profile_raft_micro.py benchmarks/profile_raft_micro_r04.json \
-  || echo "profile_raft_micro FAILED"
-
-echo "== [$(date +%T)] profile_inloop =="
-timeout 2700 python scripts/profile_inloop.py benchmarks/profile_inloop_r04.json \
-  || echo "profile_inloop FAILED"
-
-echo "== [$(date +%T)] matched-rate sustained (rate_l3) =="
-SUST_CKPT=checkpoints/rate_l3.ckpt SUST_CALIB=0 SUST_TAG=matchedrate_r04 \
-  timeout 3600 python scripts/sustained_run.py || echo "sustained FAILED"
-
-echo "== [$(date +%T)] sequence fine-tune (rate_l3 -> rate_l3_seq) =="
-timeout 2700 python scripts/train_sequence_finetune.py \
-  --base checkpoints/rate_l3.ckpt --epochs 8 \
-  || echo "seq finetune FAILED"
-
-if [ -f checkpoints/rate_l3_seq.ckpt ]; then
-  echo "== [$(date +%T)] sustained with the sequence fine-tune =="
-  SUST_CKPT=checkpoints/rate_l3_seq.ckpt SUST_CALIB=0 SUST_TAG=seqft_r04 \
-    timeout 3600 python scripts/sustained_run.py || echo "sustained-seq FAILED"
-fi
 
 echo "== [$(date +%T)] pick bench_hyper.ckpt =="
 python - <<'EOF'
@@ -72,9 +51,39 @@ else:
     print("no hyper rate checkpoints exist; bench hyper row will skip")
 EOF
 
+echo "== [$(date +%T)] profile_raft_micro =="
+timeout 2400 python scripts/profile_raft_micro.py benchmarks/profile_raft_micro_r04.json \
+  || echo "profile_raft_micro FAILED"
+
+echo "== [$(date +%T)] profile_inloop =="
+timeout 2700 python scripts/profile_inloop.py benchmarks/profile_inloop_r04.json \
+  || echo "profile_inloop FAILED"
+
+echo "== [$(date +%T)] matched-rate sustained (rate_l3 @480p comp) =="
+# rate_l3 at 480p comp-res sits at ~2 bpp on the RD clip — at/below the
+# reference's ~2.8 bpp jockey operating point, so a >=24.5 dB average
+# proves the r03 drift was rate, not the pipeline (VERDICT r3 item #4a).
+SUST_CKPT=checkpoints/rate_l3.ckpt SUST_CALIB=0 SUST_COMPH=480 \
+  SUST_TAG=matchedrate_r04 \
+  timeout 3600 python scripts/sustained_run.py || echo "sustained FAILED"
+
+
+
 echo "== [$(date +%T)] bench self-run =="
 timeout 5400 python bench.py | tee benchmarks/bench_r04_selfrun.json \
   || echo "bench FAILED"
+
+echo "== [$(date +%T)] sequence fine-tune (rate_l3 -> rate_l3_seq) =="
+timeout 2700 python scripts/train_sequence_finetune.py \
+  --base checkpoints/rate_l3.ckpt --epochs 8 \
+  || echo "seq finetune FAILED"
+
+if [ -f checkpoints/rate_l3_seq.ckpt ]; then
+  echo "== [$(date +%T)] sustained with the sequence fine-tune =="
+  SUST_CKPT=checkpoints/rate_l3_seq.ckpt SUST_CALIB=0 SUST_COMPH=480 \
+    SUST_TAG=seqft_r04 \
+    timeout 3600 python scripts/sustained_run.py || echo "sustained-seq FAILED"
+fi
 
 echo "== [$(date +%T)] rss probe =="
 timeout 1800 python scripts/rss_probe.py --segments 2 --steps 4 \
