@@ -89,4 +89,23 @@ echo "== [$(date +%T)] rss probe =="
 timeout 1800 python scripts/rss_probe.py --segments 2 --steps 4 \
   || echo "rss probe FAILED"   # writes benchmarks/rss_probe.json
 
+echo "== [$(date +%T)] multichip dryrun smoke (quiet host) =="
+timeout 1800 python - <<'EOF' || echo "multichip smoke FAILED"
+import time, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+import __graft_entry__ as g
+t0 = time.time()
+fn, args = g.entry()
+fn(*args)
+t1 = time.time()
+g.dryrun_multichip(8)
+t2 = time.time()
+out = {"ok": True, "entry_s": round(t1 - t0, 1),
+       "dryrun_s": round(t2 - t1, 1)}
+json.dump(out, open("benchmarks/multichip_smoke_r04.json", "w"))
+print(out)
+EOF
+
 echo "== [$(date +%T)] post-ladder queue complete =="
