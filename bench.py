@@ -288,6 +288,7 @@ def main():
                 "fast_infer": os.environ.get("RDVC_FAST_INFER", "1") != "0",
                 "conv_impl": os.environ.get("RDVC_CONV_IMPL", "xla"),
                 "raft_iters": config.raft_iters,
+                "raft_fused": os.environ.get("RDVC_RAFT_FUSED", "1") != "0",
             },
             "encode_stage_ms": _stage_ms(enc_t),
             "decode_stage_ms": _stage_ms(dec_t),
