@@ -73,6 +73,10 @@ echo "== [$(date +%T)] bench self-run =="
 timeout 5400 python bench.py | tee benchmarks/bench_r04_selfrun.json \
   || echo "bench FAILED"
 
+echo "== [$(date +%T)] rss probe =="
+timeout 1800 python scripts/rss_probe.py --segments 2 --steps 4 \
+  || echo "rss probe FAILED"   # writes benchmarks/rss_probe.json
+
 echo "== [$(date +%T)] sequence fine-tune (rate_l3 -> rate_l3_seq) =="
 timeout 2700 python scripts/train_sequence_finetune.py \
   --base checkpoints/rate_l3.ckpt --epochs 8 \
@@ -84,10 +88,6 @@ if [ -f checkpoints/rate_l3_seq.ckpt ]; then
     SUST_TAG=seqft_r04 \
     timeout 3600 python scripts/sustained_run.py || echo "sustained-seq FAILED"
 fi
-
-echo "== [$(date +%T)] rss probe =="
-timeout 1800 python scripts/rss_probe.py --segments 2 --steps 4 \
-  || echo "rss probe FAILED"   # writes benchmarks/rss_probe.json
 
 echo "== [$(date +%T)] multichip dryrun smoke (quiet host) =="
 timeout 1800 python - <<'EOF' || echo "multichip smoke FAILED"
