@@ -398,6 +398,112 @@ def splice_stream_payloads(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Packed-flush transport: ONE download round trip per encode flush.
+#
+# The fused encode paths used to download each flush in 3-5 relay round
+# trips (packed meta + one bucketed word-prefix per payload kind). Through
+# the axon relay every round trip has 0.3-3 s of queue latency, so the trip
+# COUNT — not the byte count — dominated encode payload_download (BENCH_r04:
+# 15.5 s for ~5 MB of actual payload). These helpers pack the meta planes
+# and every payload kind's VALID word prefix back-to-back into one uint16
+# buffer on device, and the host fetches [meta | all words] in one
+# adaptively-sized slice (a second fetch only when the size hint from the
+# previous flush under-predicts).
+# ---------------------------------------------------------------------------
+
+
+def pack_flush_sections_traced(meta_all, flats, totals):
+    """Pack one flush's downloads into a single uint16 buffer per batch row:
+    [meta lo-plane | meta hi-plane | words...] where section k's valid word
+    prefix starts at sum(totals[:k]) (data-dependent offsets via
+    dynamic_update_slice; later sections overwrite earlier sections'
+    garbage tails, so the first sum(totals) columns are exactly the
+    concatenated payload prefixes).
+
+    meta_all: (B, W) uint32. flats: list of (B, cap_k) uint16 stream-major
+    word buffers whose valid prefix length is totals[k] (B,). Returns
+    (B, 2*W + sum(cap_k)) uint16.
+    """
+    meta_lo = (meta_all & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    meta_hi = (meta_all >> jnp.uint32(16)).astype(jnp.uint16)
+    buf = flats[0]
+    pad_total = sum(int(f.shape[1]) for f in flats[1:])
+    if pad_total:
+        buf = jnp.pad(buf, ((0, 0), (0, pad_total)))
+    off = totals[0].astype(jnp.int32)
+    for f, t in zip(flats[1:], totals[1:]):
+        buf = jax.vmap(
+            lambda row, upd, o: jax.lax.dynamic_update_slice(row, upd, (o,))
+        )(buf, f, off)
+        off = off + t.astype(jnp.int32)
+    return jnp.concatenate([meta_lo, meta_hi, buf], axis=1)
+
+
+def fetch_packed_flush(packed, meta_w, needed_of, hint=None):
+    """Adaptive single-round-trip download of a packed flush buffer.
+
+    packed: (B, 2*meta_w + cap) uint16 device array from
+    pack_flush_sections_traced. needed_of(meta_np) -> max words needed over
+    batch rows. hint: predicted word count from the previous flush (None ->
+    classic two-trip meta-then-words fetch).
+
+    Returns (meta_np (B, meta_w) uint32, words_np (B, >= needed) uint16,
+    needed). One np.asarray in the steady state; two when hint is None or
+    under-predicts.
+    """
+    head_cols = 2 * meta_w
+    cap = int(packed.shape[1]) - head_cols
+    B = int(packed.shape[0])
+
+    def meta_u32(head):
+        lo = head[:, :meta_w].astype(np.uint32)
+        hi = head[:, meta_w : 2 * meta_w].astype(np.uint32)
+        return lo | (hi << 16)
+
+    if hint:
+        cols = min(_bucket(max(int(hint), 64)), cap)
+        blob = np.asarray(packed[:, : head_cols + cols])
+        meta_np = meta_u32(blob)
+        needed = int(needed_of(meta_np))
+        words = blob[:, head_cols:]
+        if needed > cols:
+            extra_cols = min(_bucket(needed), cap)
+            extra = np.asarray(
+                packed[:, head_cols + cols : head_cols + extra_cols]
+            )
+            words = np.concatenate([words, extra], axis=1)
+    else:
+        meta_np = meta_u32(np.asarray(packed[:, :head_cols]))
+        needed = int(needed_of(meta_np))
+        cols = min(_bucket(needed), cap) if needed else 0
+        words = (
+            np.asarray(packed[:, head_cols : head_cols + cols])
+            if cols
+            else np.zeros((B, 0), np.uint16)
+        )
+    return meta_np, words, needed
+
+
+def split_packed_sections(words_np, section_totals):
+    """Host-side inverse of the word packing: slice each row's concatenated
+    valid prefixes back into per-section (B, max_total_k) uint16 arrays
+    (row b of section k holds its totals[k][b]-word prefix — the layout
+    splice_stream_payloads consumes)."""
+    B = words_np.shape[0]
+    outs = []
+    offs = np.zeros(B, np.int64)
+    for tot in section_totals:
+        tot = np.asarray(tot, np.int64)
+        mx = int(tot.max()) if B else 0
+        out = np.zeros((B, mx), np.uint16)
+        for b in range(B):
+            out[b, : tot[b]] = words_np[b, offs[b] : offs[b] + tot[b]]
+        offs = offs + tot
+        outs.append(out)
+    return outs
+
+
 _DEC_BODY = 16  # symbols per scan body (window = 2 16-word blocks)
 
 

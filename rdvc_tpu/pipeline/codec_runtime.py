@@ -483,6 +483,10 @@ class CodecRuntime:
             # K/S/L depend only on the (fixed) channel counts, so the
             # traced shape is stable across entropy recalibrations; the
             # CDF rows travel as arguments, never as baked-in constants.
+            from rdvc_tpu.entropy.device_rans import (
+                pack_flush_sections_traced,
+            )
+
             menc, renc = self._device_encoders
             rgb = self._i420_to_rgb_traced(chain) if i420 else chain
             m_sym, r_sym = self._encode_body_chain(
@@ -492,7 +496,19 @@ class CodecRuntime:
             m_flat, m_meta, _ = menc.encode_traced(m_sym, m_consts)
             r_flat, r_meta, _ = renc.encode_traced(r_sym, r_consts)
             meta_all = jnp.concatenate([m_meta, r_meta], axis=1)
-            return m_flat, r_flat, meta_all, m_sym, r_sym
+            # One downloadable buffer per flush: [meta | m words | r words]
+            # with each kind's valid prefix packed back-to-back (the host
+            # fetches it in ONE adaptively-sized round trip — trip count,
+            # not bytes, dominates flush downloads through the relay).
+            packed = pack_flush_sections_traced(
+                meta_all,
+                [m_flat, r_flat],
+                [
+                    m_meta[:, 2 * menc.num_streams],
+                    r_meta[:, 2 * renc.num_streams],
+                ],
+            )
+            return packed, m_sym, r_sym
 
         return fn
 
@@ -511,30 +527,49 @@ class CodecRuntime:
         if not hasattr(self, "_raft_model"):
             raise RuntimeError("attach_raft() first")
         menc, renc = self._device_encoders
-        m_flat, r_flat, meta_all, m_sym, r_sym = (
-            self._fused_encode_chain_coded_fn(
-                self.variables, self._raft_variables,
-                menc.encode_consts, renc.encode_consts,
-                jnp.asarray(chain),
-                tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
-                i420,
-            )
+        packed, m_sym, r_sym = self._fused_encode_chain_coded_fn(
+            self.variables, self._raft_variables,
+            menc.encode_consts, renc.encode_consts,
+            jnp.asarray(chain),
+            tuple(raft_hw), tuple(comp_hw_flow), tuple(comp_hw_res),
+            i420,
         )
-        return m_flat, r_flat, meta_all, m_sym, r_sym
+        return packed, m_sym, r_sym
 
     def assemble_frames_coded(self, handles, n_real: Optional[int] = None):
-        """Host side of the fused coded encode: ONE meta download covering
-        both payload kinds, then one bucketed word-prefix download per kind
-        (3 relay round trips per flush vs the staged path's ~8). Escaped
-        frames fall back to the host coder on downloaded symbols."""
-        m_flat, r_flat, meta_all, m_sym, r_sym = handles
+        """Host side of the fused coded encode: ONE adaptively-sized
+        download covering the packed meta AND both payload kinds' word
+        prefixes (vs 3 round trips before packing, ~8 for the staged path;
+        a second fetch only when the previous flush's size hint
+        under-predicts). Escaped frames fall back to the host coder on
+        downloaded symbols."""
+        from rdvc_tpu.entropy.device_rans import (
+            fetch_packed_flush,
+            split_packed_sections,
+        )
+
+        packed, m_sym, r_sym = handles
         menc, renc = self._device_encoders
-        meta_np = np.asarray(meta_all)              # the single meta trip
         wm = 2 * menc.num_streams + 2
+        wr = 2 * renc.num_streams + 2
+
+        def needed_of(meta):
+            m_tot = meta[:, wm - 2].astype(np.int64)
+            r_tot = meta[:, wm + wr - 2].astype(np.int64)
+            return int((m_tot + r_tot).max()) if meta.size else 0
+
+        if not hasattr(self, "_flush_hints"):
+            self._flush_hints = {}
+        hint_key = ("coded", int(packed.shape[1]))
+        meta_np, words_np, needed = fetch_packed_flush(
+            packed, wm + wr, needed_of, self._flush_hints.get(hint_key)
+        )
+        self._flush_hints[hint_key] = needed + (needed >> 2) + 64
         m_meta = meta_np[:, :wm]
         r_meta = meta_np[:, wm:]
-        m_words = menc.download_word_prefix(m_flat, m_meta)
-        r_words = renc.download_word_prefix(r_flat, r_meta)
+        m_words, r_words = split_packed_sections(
+            words_np, [m_meta[:, wm - 2], r_meta[:, wr - 2]]
+        )
         m_shape = (m_sym.shape[1], m_sym.shape[2])
         r_shape = (r_sym.shape[1], r_sym.shape[2])
         hw_m = m_shape[0] * m_shape[1]
@@ -636,7 +671,20 @@ class CodecRuntime:
             meta_all = jnp.concatenate(
                 [zm_meta, ym_meta, zr_meta, yr_meta], axis=1
             )
-            return zm_flat, ym_flat, zr_flat, yr_flat, meta_all
+            # One downloadable buffer per flush (meta + all four payload
+            # kinds' valid word prefixes back-to-back): the host fetches it
+            # in ONE adaptively-sized round trip instead of five.
+            from rdvc_tpu.entropy.device_rans import (
+                pack_flush_sections_traced,
+            )
+
+            metas = [zm_meta, ym_meta, zr_meta, yr_meta]
+            packed = pack_flush_sections_traced(
+                meta_all,
+                [zm_flat, ym_flat, zr_flat, yr_flat],
+                [m[:, m.shape[1] - 2] for m in metas],
+            )
+            return packed
 
         return fn
 
@@ -697,12 +745,12 @@ class CodecRuntime:
         bins_r = jnp.concatenate(binses_r, axis=0)
         zm_enc, _ = self._hyper_device_coders["motion"]
         zr_enc, _ = self._hyper_device_coders["residual"]
-        flats = self._fused_hyper_code_fn(
+        packed = self._fused_hyper_code_fn(
             m_lat, mu_m, bins_m, z_sym_m,
             r_lat, mu_r, bins_r, z_sym_r,
             zm_enc.encode_consts, zr_enc.encode_consts,
         )
-        return (*flats, m_lat, r_lat, z_sym_m, z_sym_r)
+        return (packed, m_lat, r_lat, z_sym_m, z_sym_r)
 
     def encode_pframes_chain_latents(
         self,
@@ -729,22 +777,23 @@ class CodecRuntime:
         return m_lat, r_lat
 
     def assemble_frames_hyper(self, handles, n_real: Optional[int] = None):
-        """Host side of the fused hyper encode: ONE meta download covering
-        all four payload kinds + four bucketed word-prefix downloads, then
-        per-frame 0x04 payload packing. Escaped frames fall back to the
-        host transport recomputed from the kept latents."""
+        """Host side of the fused hyper encode: ONE adaptively-sized
+        download covering the packed meta AND all four payload kinds' word
+        prefixes (vs 5 round trips before packing), then per-frame 0x04
+        payload packing. Escaped frames fall back to the host transport
+        recomputed from the kept latents."""
         from rdvc_tpu.entropy.device_gaussian import bin_stream_layout
-        from rdvc_tpu.entropy.device_rans import ca_layout
+        from rdvc_tpu.entropy.device_rans import (
+            ca_layout,
+            fetch_packed_flush,
+            split_packed_sections,
+        )
         from rdvc_tpu.entropy.rans.coder import pack_hyper_payload
 
-        (
-            zm_flat, ym_flat, zr_flat, yr_flat, meta_all,
-            m_lat, r_lat, z_sym_m, z_sym_r,
-        ) = handles
+        packed, m_lat, r_lat, z_sym_m, z_sym_r = handles
         zm_enc, _ = self._hyper_device_coders["motion"]
         zr_enc, _ = self._hyper_device_coders["residual"]
         g_enc, _ = self._hyper_device_coders["gaussian"]
-        meta_np = np.asarray(meta_all)  # the single meta round trip
         n_ym = int(np.prod(m_lat.shape[1:]))
         n_yr = int(np.prod(r_lat.shape[1:]))
         s_ym, l_ym = bin_stream_layout(n_ym, g_enc.target_streams)
@@ -756,13 +805,27 @@ class CodecRuntime:
             2 * s_yr + 2,
         ]
         edges = np.cumsum([0] + widths)
+        meta_w = int(edges[-1])
+
+        def needed_of(meta):
+            tot = sum(
+                meta[:, edges[i + 1] - 2].astype(np.int64) for i in range(4)
+            )
+            return int(tot.max()) if meta.size else 0
+
+        if not hasattr(self, "_flush_hints"):
+            self._flush_hints = {}
+        hint_key = ("hyper", int(packed.shape[1]))
+        meta_np, words_np, needed = fetch_packed_flush(
+            packed, meta_w, needed_of, self._flush_hints.get(hint_key)
+        )
+        self._flush_hints[hint_key] = needed + (needed >> 2) + 64
         metas = [
             meta_np[:, edges[i] : edges[i + 1]] for i in range(4)
         ]
-        zm_words = zm_enc.download_word_prefix(zm_flat, metas[0])
-        ym_words = g_enc.download_word_prefix(ym_flat, metas[1])
-        zr_words = zr_enc.download_word_prefix(zr_flat, metas[2])
-        yr_words = g_enc.download_word_prefix(yr_flat, metas[3])
+        zm_words, ym_words, zr_words, yr_words = split_packed_sections(
+            words_np, [m[:, m.shape[1] - 2] for m in metas]
+        )
 
         zm_shape = (z_sym_m.shape[1], z_sym_m.shape[2])
         zr_shape = (z_sym_r.shape[1], z_sym_r.shape[2])

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
+import time
 from typing import Dict, Optional
 
 import jax.numpy as jnp
@@ -534,6 +536,19 @@ def _decode_gop_batched(
         state_raw = jnp.asarray(irgb.astype(np.float32) / 255.0)
         prev_post = state_raw
         iframe = state_raw
+        # Chunk-timeline instrumentation (RDVC_DECODE_TIMELINE=1): stderr
+        # timestamps proving whether chunk N's download actually overlaps
+        # chunk N+1's device compute through the relay (overlap_s forensics).
+        timeline = os.environ.get("RDVC_DECODE_TIMELINE") == "1"
+        t_origin = time.perf_counter() if timeline else 0.0
+
+        def _mark(tag, ci):
+            if timeline:
+                print(
+                    f"[decode-timeline] {tag} chunk={ci} "
+                    f"t={time.perf_counter() - t_origin:.3f}",
+                    file=sys.stderr, flush=True,
+                )
         if use_i420:
             from rdvc_tpu.io.yuv import rgb_to_yuv420p
 
@@ -545,14 +560,16 @@ def _decode_gop_batched(
         kind = "i420" if use_i420 else "rgb"
         pending_dl = None  # ([(t, active_rows)], async (T, B, ...) frames)
 
-        def drain_download():
+        def drain_download(ci=-1):
             nonlocal pending_dl
             if pending_dl is None:
                 return
             steps, dev = pending_dl
             pending_dl = None
+            _mark("drain_start", ci)
             with timer.span("frame_download"):
                 arr = np.asarray(dev)
+            _mark("drain_end", ci)
             for ti, act in steps:
                 for gi in act:
                     out_frames[gi].append((kind, arr[ti, gi]))
@@ -565,6 +582,7 @@ def _decode_gop_batched(
             # decode-kernel dispatches per chunk, and through the relay
             # every round trip blocks behind queued device work.
             fused = None
+            _mark("dispatch_start", ci)
             try:
                 items = list(chunk.items)
                 while len(items) < chunk_t * B:  # pad to the compiled shape
@@ -601,8 +619,9 @@ def _decode_gop_batched(
                             (height, width), use_i420,
                         )
                     )
+            _mark("dispatch_end", ci)
             # Download of the previous chunk overlaps this chunk's compute.
-            drain_download()
+            drain_download(ci - 1)
             try:
                 u8_T.copy_to_host_async()
             except AttributeError:

@@ -215,7 +215,7 @@ def encode_video(
             return [rans_pool.submit(lambda v=v: v) for v in results]
         except Exception:
             log.exception("fused hyper assembly failed; host fallback")
-            return hyper_per_frame(n_real, handles[5], handles[6])
+            return hyper_per_frame(n_real, handles[1], handles[2])
 
     def hyper_per_frame(n_real, m_lat, r_lat):
         """Per-frame hyper coding on already-computed chain latents (the
@@ -238,7 +238,7 @@ def encode_video(
             return [rans_pool.submit(lambda v=v: v) for v in results]
         except Exception:
             log.exception("fused payload assembly failed; host fallback")
-            return download_only(n_real, handles[3], handles[4])
+            return download_only(n_real, handles[1], handles[2])
 
     def drain_pending():
         """Block until all in-flight batches are coded; write them in order."""

@@ -192,3 +192,76 @@ def test_runtime_decode_payloads_device():
     np.testing.assert_array_equal(out, sym)
     with _pytest.raises(ValueError):
         rt.decode_payloads_device([b"\x01junk"], "motion", (h, w))
+
+
+def test_packed_flush_roundtrip_matches_per_kind():
+    """pack_flush_sections_traced + fetch_packed_flush + split must
+    reproduce the exact per-kind payload bytes of assemble_batch, for every
+    hint regime (no hint, under-predicting hint -> second fetch, generous
+    hint -> single fetch)."""
+    from rdvc_tpu.entropy.device_rans import (
+        _pack_assemble_meta,
+        ca_layout,
+        fetch_packed_flush,
+        pack_flush_sections_traced,
+        split_packed_sections,
+    )
+
+    t_m = _tables(channels=4, seed=3)
+    t_r = _tables(channels=8, seed=4)
+    B = 3
+    m_sym = np.concatenate(
+        [_in_range_symbols(t_m, (6, 10, 4), seed=10 + i) for i in range(B)]
+    )
+    r_sym = np.concatenate(
+        [_in_range_symbols(t_r, (4, 6, 8), seed=20 + i) for i in range(B)]
+    )
+    menc = DeviceRansEncoder(t_m, num_streams=8)
+    renc = DeviceRansEncoder(t_r, num_streams=16)
+
+    # Reference payloads via the classic per-kind path.
+    ref_m = menc.assemble_batch(*menc.encode_device_batch(jnp.asarray(m_sym)))
+    ref_r = renc.assemble_batch(*renc.encode_device_batch(jnp.asarray(r_sym)))
+
+    # Packed path.
+    m_flat, m_meta, _ = menc.encode_traced(
+        jnp.asarray(m_sym), menc.encode_consts
+    )
+    r_flat, r_meta, _ = renc.encode_traced(
+        jnp.asarray(r_sym), renc.encode_consts
+    )
+    meta_all = jnp.concatenate([m_meta, r_meta], axis=1)
+    packed = pack_flush_sections_traced(
+        meta_all,
+        [m_flat, r_flat],
+        [m_meta[:, 2 * menc.num_streams], r_meta[:, 2 * renc.num_streams]],
+    )
+    wm = 2 * menc.num_streams + 2
+    wr = 2 * renc.num_streams + 2
+
+    def needed_of(meta):
+        return int(
+            (
+                meta[:, wm - 2].astype(np.int64)
+                + meta[:, wm + wr - 2].astype(np.int64)
+            ).max()
+        )
+
+    _, _, len_m = ca_layout(4, 60, menc.target_streams)
+    _, _, len_r = ca_layout(8, 24, renc.target_streams)
+    for hint in (None, 1, 1 << 20):
+        meta_np, words_np, needed = fetch_packed_flush(
+            packed, wm + wr, needed_of, hint
+        )
+        assert needed == needed_of(meta_np)
+        m_words, r_words = split_packed_sections(
+            words_np, [meta_np[:, wm - 2], meta_np[:, wm + wr - 2]]
+        )
+        got_m = menc.assemble_batch_np(m_words, meta_np[:, :wm], 60 * 4, len_m)
+        got_r = renc.assemble_batch_np(r_words, meta_np[:, wm:], 24 * 8, len_r)
+        assert got_m == ref_m and got_r == ref_r
+        # And the payloads decode back to the symbols.
+        for i in range(B):
+            np.testing.assert_array_equal(
+                decode_chunked_ca_py(got_m[i], t_m), m_sym[i].ravel()
+            )
