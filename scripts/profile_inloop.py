@@ -150,15 +150,14 @@ def stem_only(x):
 inloop_ms_per_frame("raft_stem_conv_only", stem_only, (a,))
 
 # ---------------------------------------------------------------- codec
-from rdvc_tpu.config import CodecConfig
 from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
 
-cfgc = CodecConfig()
-cfgc.codec_checkpoint_path = (
-    "checkpoints/demo_synthetic.ckpt"
-    if os.path.exists("checkpoints/demo_synthetic.ckpt") else None
+rt = CodecRuntime(
+    checkpoint_path=(
+        "checkpoints/demo_synthetic.ckpt"
+        if os.path.exists("checkpoints/demo_synthetic.ckpt") else None
+    )
 )
-rt = CodecRuntime(cfgc)
 H, W = 1080, 1920
 img = f32(B, H, W, 3)
 flow = jax.device_put(
@@ -186,7 +185,7 @@ if fast is not None:
     from rdvc_tpu.models import fast_infer as fi
     from rdvc_tpu.models.layers import get_activation
 
-    act = get_activation(rt.model_config.activation)
+    act = get_activation(rt.cfg.activation)
     inloop_ms_per_frame(
         "mcn_1080p",
         lambda w, f, r: fi.mcn_apply(
@@ -197,7 +196,7 @@ if fast is not None:
 
     # Synthesis (residual decoder) at 1080p comp-res latents
     hl, wl = H // 8, W // 8
-    q_r = f32(B, hl, wl, rt.model_config.residual_latent_channels)
+    q_r = f32(B, hl, wl, rt.cfg.residual_latent_channels)
     inloop_ms_per_frame(
         "synthesis_residual_1080p",
         lambda q: fi.synthesis_apply(
@@ -205,7 +204,7 @@ if fast is not None:
         ),
         (q_r,),
     )
-    q_m = f32(B, hl, wl, rt.model_config.motion_latent_channels)
+    q_m = f32(B, hl, wl, rt.cfg.motion_latent_channels)
     inloop_ms_per_frame(
         "synthesis_motion_1080p",
         lambda q: fi.synthesis_apply(
@@ -233,9 +232,9 @@ from rdvc_tpu.entropy.device_rans import (
 hl, wl = H // 8, W // 8
 hw = hl * wl
 for name, channels, tables in (
-    ("dev_rans_dec_motion", rt.model_config.motion_latent_channels,
+    ("dev_rans_dec_motion", rt.cfg.motion_latent_channels,
      rt.motion_tables),
-    ("dev_rans_dec_residual", rt.model_config.residual_latent_channels,
+    ("dev_rans_dec_residual", rt.cfg.residual_latent_channels,
      rt.residual_tables),
 ):
     K, S, L = ca_layout(channels, hw)
@@ -264,7 +263,7 @@ from rdvc_tpu.entropy.gaussian import build_gaussian_cdf_tables
 
 gt = build_gaussian_cdf_tables()
 _, _, cdfp, _, offs_g = device_gaussian_rows(gt, DEFAULT_BINS)
-n_y = hw * rt.model_config.residual_latent_channels
+n_y = hw * rt.cfg.residual_latent_channels
 Sg, Lg = bin_stream_layout(n_y)
 Bg = 2
 grid_g = jax.device_put(
