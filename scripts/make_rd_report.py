@@ -1,4 +1,4 @@
-"""Generate RD_r04.md: multi-rate RD measurement in the reference's bpp
+"""Generate RD_<tag>.md (RD_TAG, default r05): multi-rate RD measurement in the reference's bpp
 regime (VERDICT r2 items #2/#3; r3 item #1 adds the production-arch
 hyperprior rate points).
 
@@ -43,6 +43,7 @@ from rdvc_tpu.io.yuv import write_yuv420p_frames
 from rdvc_tpu.pipeline.codec_runtime import CodecRuntime
 
 FRAMES = int(os.environ.get("RD_FRAMES", "16"))
+TAG = os.environ.get("RD_TAG", "r05")
 HEIGHTS = [
     int(h)
     for h in os.environ.get("RD_HEIGHTS", "1080,720,480,360,240,140").split(",")
@@ -119,7 +120,8 @@ dt = time.time() - t_start
 # falling back to the round-3 one for the first merge of the round.
 if os.environ.get("RD_MERGE") == "1":
     prev_path = next(
-        (p for p in ("benchmarks/rd_r04.json", "benchmarks/rd_r03.json")
+        (p for p in (f"benchmarks/rd_{TAG}.json", "benchmarks/rd_r04.json",
+          "benchmarks/rd_r03.json")
          if os.path.exists(p)),
         None,
     )
@@ -140,7 +142,7 @@ report = {
     "results": all_results,
     "sweep_minutes": dt / 60,
 }
-with open("benchmarks/rd_r04.json", "w") as f:
+with open(f"benchmarks/rd_{TAG}.json", "w") as f:
     json.dump(report, f, indent=2)
 
 try:
@@ -154,7 +156,7 @@ try:
             }
             for name, res in all_results.items()
         },
-        "benchmarks/rd_r04.png",
+        f"benchmarks/rd_{TAG}.png",
     )
 except Exception as e:  # plot is cosmetic; never lose the measurements
     print("plot failed:", e)
@@ -162,7 +164,7 @@ except Exception as e:  # plot is cosmetic; never lose the measurements
 from rdvc_tpu.utils.vis import REFERENCE_RD
 
 lines = [
-    "# RD_r04 — multi-rate RD measurement (round 4)",
+    f"# RD_{TAG} — multi-rate RD measurement",
     "",
     "Rate control into the reference's operating regime: lambda_bpp",
     "fine-tuned checkpoints (scripts/train_rate_points.py) x the",
@@ -227,6 +229,6 @@ for vid, rows in REFERENCE_RD.items():
         lines.append(
             "| %s | %s | %.2f | %.4f | %.4f |" % (vid, hh, psnr_v, ms_v, bpp_v)
         )
-with open("RD_r04.md", "w") as f:
+with open(f"RD_{TAG}.md", "w") as f:
     f.write("\n".join(lines) + "\n")
-print("wrote RD_r04.md (%.1f min)" % (dt / 60))
+print("wrote RD_%s.md (%.1f min)" % (TAG, dt / 60))
